@@ -1,0 +1,141 @@
+"""Receiver configuration.
+
+TPU-native replacement for the reference's module of ~60 mutable globals
+(reference: src/gpsglob.py:1-134, star-imported everywhere).  Here the
+configuration is a frozen dataclass; runtime-mutable knobs of the
+reference (sweep trigger, height constraint) are explicit control inputs
+to the runtime instead of mutated globals.
+
+All numerical semantics (block size, thresholds, sweep grid, dtype
+policy) follow the reference so results are comparable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import numpy as np
+
+# -- GPS system constants (IS-GPS-200; reference: src/gpslib.py:14-21) -------
+WEEK_IN_SEC = 604800
+GPS_C = 2.99792458e8          # speed of light as defined for GPS, m/s
+GPS_PI = 3.1415926535898      # pi as defined for GPS
+OMEGA_EARTH = 7.292115147e-5  # WGS84 earth rotation rate, rad/s
+ROLLOVER = 2                  # GPS week rollover count (current era)
+LEAPSEC = 18                  # GPS-UTC offset in s
+
+# C/A code structure
+CA_CHIPS = 1023               # chips per C/A code period (1 ms)
+CA_CHIP_RATE = 1.023e6        # chips/s
+L1_FREQ = 1575.42e6           # Hz
+BIT_MS = 20                   # nav bit length in ms
+SUBFRAME_BITS = 300           # bits per subframe (6 s)
+WORD_BITS = 30
+
+
+@dataclass(frozen=True)
+class ReceiverConfig:
+    """Static receiver parameters.
+
+    Defaults mirror the reference configuration (src/gpsglob.py) at
+    N_CYC=32 so that replay results are directly comparable.
+    """
+
+    # -- system parameters (gpsglob.py:116-125) --
+    code_samples: int = 2048        # samples per interpolated C/A period
+    n_cyc: int = 32                 # code periods per processing block
+                                    # (32 -> 32 ms blocks; also 16, 8)
+
+    # -- acquisition / sweep grid (gpsglob.py:61-75) --
+    min_freq: float = -5000.0       # Hz, Doppler search lower bound
+    max_freq: float = +5000.0       # Hz, Doppler search upper bound
+    step_freq: float = 200.0        # Hz, Doppler search step
+    corr_avg: int = 8               # periods averaged for tracking corr
+    corr_min: float = 8.0           # peak threshold in sigmas
+    sweep_corr_avg: int = 4         # periods averaged during sweep
+
+    # -- channel policy (gpsglob.py:35-44) --
+    max_sat: int = 11               # max simultaneously tracked PRNs
+    min_sat: int = 4                # min sats for a position fix
+    prn_min: int = 2                # first PRN searched (SAT_ALL, gpsrecv.py:36)
+    prn_max: int = 32               # last PRN searched
+
+    # -- tracking loop (gpslib.py:1046-1048, 1226-1229) --
+    pll_gain_unlocked: float = 10.0
+    pll_gain_locked: float = 1.0
+    pll_lock_threshold: float = 0.1     # rad
+    pll_max_df_per_sec: float = 20.0    # Hz/s slew limit
+    pll_phase_jump: float = 2.0         # rad; unwrap step trigger
+    pll_offset_avg: int = 4             # means averaged for phase offset
+    min_corr_q: float = -0.9            # 60 s corr quality sweep trigger
+    edge_sigma: float = 3.0             # min edge amplitude in sigmas
+    corr_q_window_sec: int = 60         # CORRLST span in seconds
+
+    # -- positioning (gpsglob.py:46-59) --
+    pos_avg_in_sec: int = 1
+    min_out_dist: float = 500.0     # m, outlier gate
+    max_speed: float = 60.0         # m/s, outlier speed allowance
+    conf_height: bool = False       # use height constraint (3-sat mode)
+    height: float = 0.0             # m, GPS height for constraint
+    height_dev: float = 10.0        # m, std dev of height constraint
+    lsf_max_it: int = 15
+    max_residual: float = 1.0e-7
+    lsf_weight: bool = True
+
+    # -- front end --
+    sample_rate_factor: int = 1000  # sample_rate = 1000 * code_samples
+    sdr_freq_corr_ppm: float = 0.0  # oscillator correction, ppm
+
+    # -- derived --
+    @property
+    def sample_rate(self) -> float:
+        """Samples per second (2.048 MS/s at defaults)."""
+        return float(self.sample_rate_factor * self.code_samples)
+
+    @property
+    def ngps(self) -> int:
+        """Samples per processing block (NGPS; gpsglob.py:125)."""
+        return self.n_cyc * self.code_samples
+
+    @property
+    def block_sec(self) -> float:
+        return self.ngps / self.sample_rate
+
+    @property
+    def no_sec(self) -> int:
+        """Blocks per ~1 s reporting interval (gpslib.py:1067)."""
+        return 1024 // self.n_cyc
+
+    @property
+    def corr_hist_len(self) -> int:
+        """Entries in the correlation-quality history (gpslib.py:1086)."""
+        return self.corr_q_window_sec * self.no_sec
+
+    @property
+    def n_doppler(self) -> int:
+        """Number of Doppler bins in the acquisition grid."""
+        return int(round((self.max_freq - self.min_freq) / self.step_freq)) + 1
+
+    @property
+    def doppler_bins(self) -> np.ndarray:
+        return (self.min_freq
+                + self.step_freq * np.arange(self.n_doppler)).astype(np.float64)
+
+    @property
+    def prns(self) -> tuple[int, ...]:
+        """PRNs searched during cold-start acquisition."""
+        return tuple(range(self.prn_min, self.prn_max + 1))
+
+    def replace(self, **kw) -> "ReceiverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = ReceiverConfig()
+
+
+# -- dtype policy (gpsglob.py:127-131: float32 DSP ~1.4x faster; orbit/PVT
+#    math deliberately stays float64 in the reference) --------------------
+DSP_FLOAT = np.float32
+DSP_COMPLEX = np.complex64
+GEO_FLOAT = np.float64

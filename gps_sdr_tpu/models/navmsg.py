@@ -1,0 +1,341 @@
+"""Navigation-message codec and bit assembly (host side).
+
+Replaces the reference's Subframe class (src/gpslib.py:96-419), the
+edge->bit framing logicalBits (src/gpslib.py:1465-1492) and the preamble
+search / subframe extraction evalGpsBits (src/gpslib.py:1504-1580).
+
+Unlike the reference this module is symmetric: one declarative field
+table drives BOTH decoding and the encoder that the signal simulator
+uses to synthesize bit streams — the closed loop the reference never
+had.  Runs on the host: nav bits arrive at 50 bps/channel, six orders of
+magnitude below the IQ stream, so this layer is bookkeeping (SURVEY.md
+section 7.4).
+
+Conventions (matching IS-GPS-200 and the reference decoder):
+  * A subframe is 300 bits = 10 words x 30 bits; bits here are 0/1 in
+    the *source* domain (after undoing the D30 complement).
+  * Parity: D25..D30 computed from the previous word's transmitted bits
+    29/30 (DS29/DS30) and the current word's 24 source bits
+    (gpslib.py:379-405).  Word 1 (TLM) parity is not checkable without
+    the preceding word and is skipped, as in the reference.
+  * The preamble is 10001011; reception may be globally inverted
+    (gpslib.py:287-292).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from gps_sdr_tpu.config import GPS_PI, SUBFRAME_BITS
+
+PREAMBLE = np.array([1, 0, 0, 0, 1, 0, 1, 1], dtype=np.int8)
+PREAMBLE_PM = (2 * PREAMBLE - 1).astype(np.int8)
+
+# Parity tap tables: source-bit indices (0..23) feeding each parity bit,
+# plus which of (DS29, DS30) seeds it.
+_PAR_TAPS = {
+    24: ("DS29", [0, 1, 2, 4, 5, 9, 10, 11, 12, 13, 16, 17, 19, 22]),
+    25: ("DS30", [1, 2, 3, 5, 6, 10, 11, 12, 13, 14, 17, 18, 20, 23]),
+    26: ("DS29", [0, 2, 3, 4, 6, 7, 11, 12, 13, 14, 15, 18, 19, 21]),
+    27: ("DS30", [1, 3, 4, 5, 7, 8, 12, 13, 14, 15, 16, 19, 20, 22]),
+    28: ("DS30", [0, 2, 4, 5, 6, 8, 9, 13, 14, 15, 16, 17, 20, 21, 23]),
+    29: ("DS29", [2, 4, 5, 7, 8, 9, 10, 12, 14, 18, 21, 22, 23]),
+}
+
+
+def word_parity(d: np.ndarray, ds29: int, ds30: int) -> np.ndarray:
+    """Six parity bits for 24 source bits `d` given the previous word's
+    transmitted bits 29/30."""
+    seed = {"DS29": ds29, "DS30": ds30}
+    out = np.empty(6, dtype=np.int8)
+    for k in range(24, 30):
+        s, taps = _PAR_TAPS[k]
+        out[k - 24] = (seed[s] + int(np.sum(d[taps]))) % 2
+    return out
+
+
+# -- declarative field layout -------------------------------------------------
+# (name, [(word, lo, hi), ...], signed, scale); bit spans concatenate MSB
+# first across words; scale multiplies the (two's-complement) integer.
+
+_COMMON = [
+    ("tow", [(1, 0, 17)], False, 1),
+    ("ID", [(1, 19, 22)], False, 1),
+]
+
+_SF_FIELDS = {
+    1: [
+        ("weekNum", [(2, 0, 10)], False, 1),
+        ("satAcc", [(2, 12, 16)], False, 1),
+        ("satHealth", [(2, 16, 22)], False, 1),
+        ("IODC", [(2, 22, 24), (7, 0, 8)], False, 1),
+        ("Tgd", [(6, 16, 24)], True, 2.0 ** -31),
+        ("Toc", [(7, 8, 24)], False, 16),
+        ("af2", [(8, 0, 8)], True, 2.0 ** -55),
+        ("af1", [(8, 8, 24)], True, 2.0 ** -43),
+        ("af0", [(9, 0, 22)], True, 2.0 ** -31),
+    ],
+    2: [
+        ("IODE2", [(2, 0, 8)], False, 1),
+        ("Crs", [(2, 8, 24)], True, 2.0 ** -5),
+        ("deltaN", [(3, 0, 16)], True, 2.0 ** -43 * GPS_PI),
+        ("M0", [(3, 16, 24), (4, 0, 24)], True, 2.0 ** -31 * GPS_PI),
+        ("Cuc", [(5, 0, 16)], True, 2.0 ** -29),
+        ("e", [(5, 16, 24), (6, 0, 24)], False, 2.0 ** -33),
+        ("Cus", [(7, 0, 16)], True, 2.0 ** -29),
+        ("sqrtA", [(7, 16, 24), (8, 0, 24)], False, 2.0 ** -19),
+        ("Toe", [(9, 0, 16)], False, 16),
+    ],
+    3: [
+        ("Cic", [(2, 0, 16)], True, 2.0 ** -29),
+        ("omegaBig", [(2, 16, 24), (3, 0, 24)], True, 2.0 ** -31 * GPS_PI),
+        ("Cis", [(4, 0, 16)], True, 2.0 ** -29),
+        ("i0", [(4, 16, 24), (5, 0, 24)], True, 2.0 ** -31 * GPS_PI),
+        ("Crc", [(6, 0, 16)], True, 2.0 ** -5),
+        ("omegaSmall", [(6, 16, 24), (7, 0, 24)], True, 2.0 ** -31 * GPS_PI),
+        ("omegaDot", [(8, 0, 24)], True, 2.0 ** -43 * GPS_PI),
+        ("IDOT", [(9, 8, 22)], True, 2.0 ** -43 * GPS_PI),
+        ("IODE3", [(9, 0, 8)], False, 1),
+    ],
+    4: [],
+    5: [],
+}
+
+
+def field_scale(sf_id: int, name: str) -> float:
+    """LSB scale factor of a subframe field (for quantization-aware tests)."""
+    for n, _, _, scale in _COMMON + _SF_FIELDS[sf_id]:
+        if n == name:
+            return scale
+    raise KeyError(name)
+
+
+def _bits_to_int(bits: np.ndarray, signed: bool) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if signed and bits[0] == 1:
+        v -= 1 << len(bits)
+    return v
+
+
+def _int_to_bits(value: int, n: int) -> np.ndarray:
+    v = int(value) & ((1 << n) - 1)
+    return np.array([(v >> (n - 1 - i)) & 1 for i in range(n)], dtype=np.int8)
+
+
+# -- decoding -----------------------------------------------------------------
+
+class SubframeError(Exception):
+    pass
+
+
+def check_and_unscramble(sub300: np.ndarray) -> np.ndarray | None:
+    """Parity-check a 300-bit subframe; return 10x30 source-domain words.
+
+    Handles global inversion via the preamble; undoes the D30 data
+    complement per word; verifies parity of words 2..10 (the reference's
+    CheckParity loop, gpslib.py:379-405).  Returns None on any failure.
+    """
+    if sub300.shape[0] != SUBFRAME_BITS:
+        return None
+    w = np.array(sub300, dtype=np.int8).reshape(10, 30)
+    if not np.array_equal(w[0, :8], PREAMBLE):
+        w = 1 - w
+        if not np.array_equal(w[0, :8], PREAMBLE):
+            return None
+    for i in range(1, 10):
+        ds29, ds30 = int(w[i - 1, 28]), int(w[i - 1, 29])
+        d = w[i, :24]
+        if ds30:
+            d = 1 - d
+            w[i, :24] = d
+        if not np.array_equal(word_parity(d, ds29, ds30), w[i, 24:]):
+            return None
+    return w
+
+
+def decode_subframe(sub300: np.ndarray) -> dict | None:
+    """300 transmitted bits -> field dict, or None if invalid.
+
+    Field positions and scale factors per IS-GPS-200 (the positions the
+    reference reads in getDataSub1..3, gpslib.py:316-371; subframes 4/5
+    yield only ID/tow as in gpslib.py:1565-1568).
+    """
+    w = check_and_unscramble(np.asarray(sub300))
+    if w is None:
+        return None
+    out = {}
+    for name, spans, signed, scale in _COMMON:
+        bits = np.concatenate([w[wi, lo:hi] for wi, lo, hi in spans])
+        out[name] = _bits_to_int(bits, signed)
+    sf_id = out["ID"]
+    if not 1 <= sf_id <= 5:
+        return None
+    for name, spans, signed, scale in _SF_FIELDS[sf_id]:
+        bits = np.concatenate([w[wi, lo:hi] for wi, lo, hi in spans])
+        v = _bits_to_int(bits, signed) * scale
+        out[name] = v if scale != 1 else int(v)
+    return out
+
+
+# -- encoding (simulator side) ------------------------------------------------
+
+def _solve_tail(d: np.ndarray, ds29: int, ds30: int) -> np.ndarray:
+    """Choose source bits d[22], d[23] so transmitted D29 = D30 = 0.
+
+    Mirrors the IS-GPS-200 requirement that HOW and word 10 end with
+    zeros in bits 29/30 so every subframe starts from a known parity
+    state (and the TLM preamble is transmitted non-inverted)."""
+    d = d.copy()
+    d[22] = d[23] = 0
+    p = word_parity(d, ds29, ds30)
+    # D29 taps include d23 (not d22); D30 taps include both.
+    d[23] = p[4]
+    d[22] = (p[5] + d[23]) % 2
+    assert word_parity(d, ds29, ds30)[4:].tolist() == [0, 0]
+    return d
+
+
+def encode_subframe(sf_id: int, fields: dict, tow: int) -> np.ndarray:
+    """Build the 300 transmitted bits of one subframe.
+
+    `fields` uses the same names/units as decode_subframe's output.
+    TLM message bits are zero; HOW and word 10 tails are solved for
+    zero D29/D30; each word's data bits are complemented with the
+    running DS30 before transmission.
+    """
+    src = np.zeros((10, 24), dtype=np.int8)
+    src[0, :8] = PREAMBLE
+    values = dict(fields)
+    values["tow"] = tow
+    values["ID"] = sf_id
+    for name, spans, signed, scale in _COMMON + _SF_FIELDS[sf_id]:
+        if name not in values:
+            continue
+        v = values[name]
+        iv = int(round(v / scale)) if scale != 1 else int(v)
+        n = sum(hi - lo for _, lo, hi in spans)
+        bits = _int_to_bits(iv, n)
+        k = 0
+        for wi, lo, hi in spans:
+            src[wi, lo:hi] = bits[k:k + hi - lo]
+            k += hi - lo
+
+    tx = np.zeros((10, 30), dtype=np.int8)
+    ds29 = ds30 = 0
+    for i in range(10):
+        d = src[i]
+        if i in (1, 9):                      # HOW and word 10: force 00 tail
+            d = _solve_tail(d, ds29, ds30)
+        par = word_parity(d, ds29, ds30)
+        tx[i, :24] = (d + ds30) % 2
+        tx[i, 24:] = par
+        ds29, ds30 = int(tx[i, 28]), int(tx[i, 29])
+    return tx.reshape(300)
+
+
+# -- edge -> bit -> subframe assembly (host, per channel) ---------------------
+
+@dataclass
+class NavDecoder:
+    """Accumulates bit-edge events from the tracking kernel and yields
+    decoded subframes; the host-side mirror of the reference's EDGES /
+    GPSBITS bookkeeping (gpslib.py:1451-1580).
+    """
+
+    ngps: int
+    last_sign: int = 0
+    edges: list = field(default_factory=list)    # [(ms, sample_time)]
+    bits: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int8))
+    bits_st: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int64))
+
+    def erase(self):
+        """Stream skip: drop edge/bit continuity (erasePrevData,
+        gpslib.py:1095-1099)."""
+        self.last_sign = 0
+        self.edges = []
+        self.bits = np.zeros(0, np.int8)
+        self.bits_st = np.zeros(0, np.int64)
+
+    def push_block(self, sign0: int, edge_ms: np.ndarray,
+                   edge_local: np.ndarray, edge_valid: np.ndarray,
+                   stream_no: int, erased: bool):
+        """Feed one block's edge events (ChannelOut fields)."""
+        if erased:
+            self.erase()
+        if self.last_sign == 0 and sign0 != 0:
+            self.last_sign = int(sign0)
+        base = np.int64(stream_no) * self.ngps
+        for ms, loc, ok in zip(edge_ms, edge_local, edge_valid):
+            if ok:
+                self.edges.append((int(ms), base + int(loc)))
+
+    def _frame_bits(self) -> tuple[np.ndarray, np.ndarray]:
+        """Edges -> logical bits with 20 ms framing and r>17 rounding
+        (logicalBits, gpslib.py:1465-1492).  Consumes all but the last
+        edge; flips the running sign once per edge."""
+        if len(self.edges) < 2:
+            return np.zeros(0, np.int8), np.zeros(0, np.int64)
+        bits, sts = [], []
+        sign = self.last_sign
+        (t1, st1) = self.edges[0]
+        for (t2, st2) in self.edges[1:]:
+            m, r = divmod(t2 - t1, 20)
+            if r > 17:
+                m += 1
+            if m > 0:
+                bits.extend([sign] * m)
+                sts.extend([st1] + [0] * (m - 1))
+            t1, st1 = t2, st2
+            sign = -sign
+        self.edges = [self.edges[-1]]
+        self.last_sign = sign
+        return (np.asarray(bits, np.int8), np.asarray(sts, np.int64))
+
+    def poll_subframes(self) -> list[dict]:
+        """Assemble pending edges into bits, scan for subframes.
+
+        Mirrors evalEdges + evalGpsBits (gpslib.py:1451-1580): locate
+        preambles by +-8 correlation, attempt extraction, advance by 300
+        bits on success or to the next preamble on failure; keep the
+        unconsumed tail.  Each subframe dict gains 'ST', the sample time
+        of its preamble's first bit edge.
+        """
+        nb, ns = self._frame_bits()
+        self.bits = np.concatenate([self.bits, nb])
+        self.bits_st = np.concatenate([self.bits_st, ns])
+        out = []
+        bits = self.bits
+        if len(bits) < SUBFRAME_BITS:
+            return out
+        corr = np.correlate(bits, PREAMBLE_PM, mode="valid")
+        locs = [i for i in np.nonzero(np.abs(corr) == 8)[0]]
+        start = 0
+        li = 0
+        if locs:
+            b01 = ((bits + 1) // 2).astype(np.int8)
+            start = locs[0]
+            while start + SUBFRAME_BITS <= len(b01):
+                sf = decode_subframe(b01[start:start + SUBFRAME_BITS])
+                if sf is not None:
+                    sf["ST"] = int(self.bits_st[start])
+                    out.append(sf)
+                    start += SUBFRAME_BITS
+                else:
+                    nxt = None
+                    while li < len(locs):
+                        if locs[li] > start:
+                            nxt = locs[li]
+                            break
+                        li += 1
+                    if nxt is None:
+                        break
+                    start = nxt
+        self.bits = bits[start:]
+        self.bits_st = self.bits_st[start:]
+        return out

@@ -1,0 +1,237 @@
+"""Pseudorange assembly: code phases + time references -> satellite
+positions and receive timestamps.
+
+Replaces the reference's SatOrbit class (src/gpslib.py:801-1039).  This
+is the time-bookkeeping heart of the receiver: a (tow, ST) reference
+from a decoded subframe anchors the sample clock to GPS time; the
+stream of per-block code phases is then walked forward TOW by TOW
+(6 s = 187.5 blocks at n_cyc=32, hence the alternating 16 ms `offms`
+parity, gpslib.py:987-1037), unwrapping code-phase overflows across
+lists, bridging gaps with a linear fit, and estimating the code-phase
+slope and sigma for the LSF weights (getStdDev, gpslib.py:864-883).
+
+Output tuples match the reference exactly:
+  (sat_no, tow, x, y, z, smp_time_s, week_num, cyc_no, coph_std_m)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from gps_sdr_tpu.config import GPS_C, ReceiverConfig
+from gps_sdr_tpu.models import orbits
+from gps_sdr_tpu.models.ephemeris import EphemerisAssembler, SatStatus
+
+MAX_SLOPE = 6.55e-3     # samples/ms; max physical code-phase drift
+                        # (|doppler| <= 5 kHz -> 6.5 samples/s; gpslib.py:812)
+
+
+@dataclass
+class PseudorangeEngine:
+    """One satellite's code-phase -> pseudorange pipeline."""
+
+    sat_no: int
+    cfg: ReceiverConfig
+    preloaded_ephem: dict | None = None
+
+    status: SatStatus = SatStatus.OK
+    asm: EphemerisAssembler = None
+    ref_time: tuple | None = None        # active (tow, ST)
+    ref_ephem: dict | None = None
+    last_sno: int = 0
+    last_cp: float = 0.0
+    cp_hist: list = field(default_factory=list)     # [(sno, cp)] fit window
+    slope_hist: list = field(default_factory=list)  # cp slopes per ms
+    phase_err_snos: list = field(default_factory=list)
+
+    MIN_GAP = 1000        # blocks; larger gaps bridged by linear fit
+    MAX_GAP = 10000       # blocks; beyond this the reference is dropped
+    MAX_FIT = 100         # fit window length
+    DIFF_TOL = 200        # samples; overflow matching tolerance
+
+    def __post_init__(self):
+        if self.asm is None:
+            self.asm = EphemerisAssembler(self.sat_no, self.preloaded_ephem)
+
+    # -- subframe input -----------------------------------------------------
+
+    def read_frame(self, sf: dict) -> SatStatus:
+        """Feed a decoded subframe (readFrame, gpslib.py:848-861): frames
+        predating a recorded phase error are rejected; an ephemeris
+        change rebuilds the assembler and re-reads the subframe."""
+        stream_no = sf["ST"] // self.cfg.ngps
+        if self.phase_err_snos and stream_no < self.phase_err_snos[-1]:
+            self.status = SatStatus.FLAWED
+            return self.status
+        self.status = self.asm.read_subframe(sf)
+        if self.status == SatStatus.NEW_EPHEM:
+            self.asm = EphemerisAssembler(self.sat_no)
+            self.asm.read_subframe(sf)
+        return self.status
+
+    @property
+    def ephem_ok(self) -> bool:
+        return self.asm.ephem_ok
+
+    @property
+    def ephem(self) -> dict:
+        return self.asm.ephem
+
+    # -- internals ----------------------------------------------------------
+
+    def _clear_ref(self):
+        """Drop the code-phase continuity state (clearCodePhaseRef,
+        gpslib.py:886-891)."""
+        self.last_sno = 0
+        self.cp_hist = []
+        self.slope_hist = []
+        self.ref_time = None
+        self.ref_ephem = None
+
+    def _sigma_and_slope(self, snos, cps) -> tuple[float, float]:
+        """sigma of the code phases around a linear fit (meters) and the
+        averaged, clipped slope in samples/ms (getStdDev,
+        gpslib.py:864-883)."""
+        if len(cps) > 3:
+            p = np.polyfit(snos, cps, 1)
+            sigma = float(np.std(cps - np.polyval(p, snos)))
+            self.slope_hist.append(p[0] / self.cfg.n_cyc)
+            max_hist = 1024 // self.cfg.n_cyc
+            if len(self.slope_hist) > max_hist:
+                del self.slope_hist[0]
+        else:
+            sigma = 0.5
+        sigma *= GPS_C / self.cfg.sample_rate
+        slope = 0.0
+        if len(self.slope_hist) > 4:
+            slope = float(np.mean(self.slope_hist))
+        return sigma, float(np.clip(slope, -MAX_SLOPE, MAX_SLOPE))
+
+    # -- main entry ----------------------------------------------------------
+
+    def eval_code_phases(self, cpl: list, rel_corr: bool = True) -> list:
+        """Code-phase list [(stream_no, code_phase), ...] -> result tuples.
+
+        Mirrors evalCodePhase (gpslib.py:897-1039).  A leading
+        (stream_no, None) entry is the global phase-error poison pill:
+        it invalidates the time reference and excludes older frames.
+        """
+        cfg = self.cfg
+        cs, ngps, n_cyc, fs = (cfg.code_samples, cfg.ngps, cfg.n_cyc,
+                               cfg.sample_rate)
+        six_sec = int(6 * fs)
+
+        result: list = []
+        if cpl:
+            if cpl[0][1] is None:
+                self.phase_err_snos.append(cpl[0][0])
+                self.asm.time_refs = []
+                self._clear_ref()
+                return result
+            cpl = [e for e in cpl if e[0] > self.last_sno]
+
+        # an ephemeris update invalidates the anchored reference
+        if (self.ref_time is not None and self.asm.ephem_ok
+                and self.asm.ephem["IODC"] != self.ref_ephem["IODC"]):
+            self._clear_ref()
+
+        if self.ref_time is None and self.asm.time_refs:
+            self.ref_time = self.asm.time_refs[-1]
+            self.ref_ephem = dict(self.asm.ephem)
+
+        if not cpl or self.ref_time is None:
+            return result
+
+        week_num = self.ref_ephem["weekNum"]
+        tow, st_raw = self.ref_time
+        st_frac = st_raw % cs                 # sub-period part ~ code phase
+        st = (st_raw // cs) * cs              # snap to a code-period boundary
+        if st // ngps > self.last_sno:
+            self.last_sno = st // ngps
+            self.last_cp = st_frac
+
+        snos = np.array([e[0] for e in cpl], dtype=np.int64)
+        cps = np.array([e[1] for e in cpl], dtype=np.float64)
+
+        # bridge or reject gaps since the last processed stream
+        gap = int(snos[0]) - self.last_sno
+        if gap > self.MAX_GAP:
+            self._clear_ref()
+            return result
+        if gap > self.MIN_GAP:
+            if len(self.cp_hist) >= n_cyc // 2:
+                hx, hy = zip(*self.cp_hist[-self.MAX_FIT:])
+                p = np.polyfit(hx, hy, 1)
+                self.last_cp = float(np.polyval(p, snos[0]))
+            else:
+                self._clear_ref()
+                return result
+
+        # overflow continuation: code phases within a list were already
+        # unwrapped upstream (runtime/evaluator.py); align this list's
+        # offset with the running unwrap
+        ofl = self.last_cp // cs
+        if ofl != 0:
+            cps = cps + ofl * cs
+        diff = self.last_cp - cps[0]
+        if abs(abs(diff) - cs) <= self.DIFF_TOL:
+            cps = cps + np.sign(diff) * cs
+
+        sigma, slope = self._sigma_and_slope(snos, cps)
+        self.cp_hist += list(zip(snos.tolist(), cps.tolist()))
+        self.cp_hist = self.cp_hist[-self.MAX_FIT:]
+        self.last_sno, self.last_cp = int(snos[-1]), float(cps[-1])
+
+        # TOW walking: 6 s = 6000 code periods = 187.5 blocks (n_cyc=32),
+        # so each TOW epoch starts offms ms into a block, alternating by
+        # 16 ms (gpslib.py:987-1037)
+        offms = (tow % 2 ** (n_cyc // 32)) * 16 if n_cyc > 16 else 0
+        while (st + six_sec) // ngps < snos[0]:
+            st += six_sec
+            tow += 1
+            offms = (offms + 16) % n_cyc
+
+        cp = cps[0]
+        cyc_no = 0
+        delta_st = offms * cs
+        stream_no = (st + delta_st) // ngps
+        code_no = (st + delta_st) // cs - stream_no * n_cyc
+        idx = 0
+        while idx < len(snos):
+            if snos[idx] < stream_no:
+                idx += 1
+            elif snos[idx] > stream_no:
+                stream_no += 1
+                cyc_no += 1
+                delta_st += ngps
+            else:
+                x, y, z, dtsv = orbits.ecef_coord(
+                    tow, self.ref_ephem, dt_from_tow=delta_st / fs,
+                    rel_corr=rel_corr)
+                cp = cps[idx]
+                # the correlator measures at the block center; shift the
+                # timestamp by the code-phase slope times the offset of
+                # this code period from the center
+                corr_cp = (code_no + cp // cs - n_cyc // 2) * slope
+                smp_time = (st + delta_st + cp + corr_cp) / fs + float(dtsv)
+                result.append((self.sat_no, int(tow), float(x), float(y),
+                               float(z), smp_time, int(week_num),
+                               int(cyc_no), sigma))
+                stream_no += 1
+                cyc_no += 1
+                delta_st += ngps
+                idx += 1
+
+            if delta_st >= six_sec:
+                tow += 1
+                cyc_no = 0
+                st += six_sec
+                offms = (offms + 16) % n_cyc
+                delta_st = offms * cs
+                # roll the anchor forward so the next call doesn't rewalk
+                if stream_no < snos[-1]:
+                    self.ref_time = (tow, int(st + cp % cs))
+
+        return result

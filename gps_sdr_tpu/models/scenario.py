@@ -1,0 +1,224 @@
+"""Physically consistent GPS scenario simulation.
+
+Generates IQ streams from first principles — receiver position +
+per-satellite ephemerides -> geometric propagation delays, Doppler,
+SV clock offsets, and a parity-correct navigation message — so the FULL
+receiver chain (acquisition -> tracking -> bit sync -> subframe decode ->
+ephemeris assembly -> pseudoranges -> Gauss-Newton fix) can be verified
+in closed loop against exact ground truth.  The reference has no such
+oracle; its only end-to-end check is a recorded capture
+(/root/reference README.md:177-185).
+
+Signal model per receiver sample at GPS time t:
+  tau_prop(t):   light time to the satellite, solved by fixed-point
+                 iteration with the Sagnac frame rotation applied
+  tau_sv(t)    = t - tau_prop(t) + dtsv: the SATELLITE-CLOCK time whose
+                 chip is arriving now (code and data are clocked by the
+                 SV clock; dtsv from the ephemeris clock model)
+  chip         = ca[floor(frac(tau_sv/1ms) * 1023)]  (1.023 Mcps)
+  bit          = nav_stream[floor(tau_sv / 20 ms)]
+  carrier      = exp(-j*2*pi*f_L1*tau_prop(t))  (baseband after an ideal
+                 L1 downconversion)
+Subframe k's preamble leaves the SV at sat-clock time 6k, so its HOW
+carries tow = k+1 — exactly the timing the receiver's TOW walking
+assumes (models/pseudorange.py; reference gpslib.py:475-476).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from gps_sdr_tpu.config import (BIT_MS, CA_CHIP_RATE, CA_CHIPS, GPS_C,
+                                L1_FREQ, OMEGA_EARTH, ReceiverConfig)
+from gps_sdr_tpu.models import navmsg, orbits
+from gps_sdr_tpu.ops.cacode import ca_chips
+from gps_sdr_tpu.utils.geodesy import geo_to_ecef
+
+
+def quantized_ephemeris(eph: dict) -> dict:
+    """Round ephemeris values to their broadcast LSBs so the simulated
+    geometry matches what the receiver will decode bit-exactly."""
+    out = dict(eph)
+    for sf_id in (1, 2, 3):
+        for name, _, _, scale in navmsg._SF_FIELDS[sf_id]:
+            if name in out and scale != 1:
+                out[name] = round(out[name] / scale) * scale
+    return out
+
+
+def random_visible_ephemeris(rec_ecef: np.ndarray, tow0: int, week: int,
+                             rng: np.random.Generator,
+                             min_elev_sin: float = 0.3) -> dict:
+    """Draw orbital elements on the GPS shell until the satellite is
+    above the horizon at the receiver at the scenario start."""
+    t_ref = orbits.tsv_of_tow(tow0)
+    toe = float(np.floor(t_ref / 16) * 16)
+    up = rec_ecef / np.linalg.norm(rec_ecef)
+    while True:
+        eph = {
+            "weekNum": week, "satAcc": 0, "satHealth": 0,
+            "IODC": int(rng.integers(1, 1023)),
+            "Tgd": float(rng.uniform(-1e-8, 1e-8)),
+            "Toc": toe, "af2": 0.0,
+            "af1": float(rng.uniform(-1e-11, 1e-11)),
+            "af0": float(rng.uniform(-5e-4, 5e-4)),
+            "Crs": float(rng.uniform(-80, 80)),
+            "deltaN": float(rng.uniform(-6e-9, 6e-9)),
+            "M0": float(rng.uniform(-np.pi, np.pi)),
+            "Cuc": float(rng.uniform(-6e-6, 6e-6)),
+            "e": float(rng.uniform(0.001, 0.02)),
+            "Cus": float(rng.uniform(-6e-6, 6e-6)),
+            "sqrtA": float(np.sqrt(26_560_000.0) + rng.uniform(-5, 5)),
+            "Toe": toe,
+            "Cic": float(rng.uniform(-2e-7, 2e-7)),
+            "omegaBig": float(rng.uniform(-np.pi, np.pi)),
+            "Cis": float(rng.uniform(-2e-7, 2e-7)),
+            "i0": float(np.deg2rad(55) + rng.uniform(-0.1, 0.1)),
+            "Crc": float(rng.uniform(-200, 200)),
+            "omegaSmall": float(rng.uniform(-np.pi, np.pi)),
+            "omegaDot": float(rng.uniform(-8.5e-9, -7.5e-9)),
+            "IDOT": float(rng.uniform(-4e-10, 4e-10)),
+        }
+        eph["IODE2"] = eph["IODE3"] = eph["IODC"] & 255
+        eph = quantized_ephemeris(eph)
+        x, y, z, _ = orbits.ecef_coord(tow0, eph)
+        d = np.array([x, y, z]) - rec_ecef
+        if np.dot(d, up) / np.linalg.norm(d) > min_elev_sin:
+            return eph
+
+
+@dataclass
+class SatScenario:
+    prn: int
+    eph: dict
+    amplitude: float = 1.0
+    nav_stream: np.ndarray = None   # +-1 bits, bit b spans sat time
+    #                                 [20ms*(b + bit0), ...)
+    bit0: int = 0                   # global bit index of nav_stream[0]
+
+    def build_nav_stream(self, tow_first: int, n_subframes: int):
+        """Encode subframes tow_first..+n cycling IDs 1..5 with the
+        correct ephemeris payload."""
+        frames = []
+        for k in range(n_subframes):
+            tow = tow_first + k
+            sf_id = (tow - 1) % 5 + 1
+            fields = self.eph if sf_id in (1, 2, 3) else {}
+            frames.append(navmsg.encode_subframe(sf_id, fields, tow))
+        bits01 = np.concatenate(frames)
+        self.nav_stream = (2 * bits01 - 1).astype(np.int8)
+        # subframe with HOW tow starts at sat time (tow-1)*6 -> bit index
+        self.bit0 = (tow_first - 1) * 300
+
+
+@dataclass
+class Scenario:
+    """Ground truth for one simulation run."""
+
+    cfg: ReceiverConfig
+    rec_geo: tuple                      # (lat, lon, alt)
+    rec_ecef: np.ndarray
+    week: int
+    tow0: int                           # first subframe TOW in nav streams
+    t_rx0: float                        # GPS time of receiver sample 0
+    sats: list                          # [SatScenario]
+
+    def sat_states(self, t: np.ndarray, sat: SatScenario):
+        """(tau_prop, tau_sv) at GPS times t for one satellite, with
+        Sagnac rotation and SV clock offset applied."""
+        tow_ref = self.tow0
+        t_rel = t - orbits.tsv_of_tow(tow_ref)
+        tau = np.full_like(t, 0.07)
+        for _ in range(3):
+            x, y, z, dtsv = orbits.ecef_coord(tow_ref, sat.eph,
+                                              dt_from_tow=t_rel - tau)
+            ang = OMEGA_EARTH * tau
+            c, s = np.cos(ang), np.sin(ang)
+            xr = c * x + s * y
+            yr = -s * x + c * y
+            rng = np.sqrt((xr - self.rec_ecef[0]) ** 2
+                          + (yr - self.rec_ecef[1]) ** 2
+                          + (z - self.rec_ecef[2]) ** 2)
+            tau = rng / GPS_C
+        tau_sv = t - tau + dtsv
+        return tau, tau_sv
+
+
+def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
+                  rec_geo=(49.082961, 8.307581, 150.0),
+                  week: int = 312, tow0: int = 11100,
+                  rx_start_offset: float = 0.25,
+                  duration_sec: float = 40.0,
+                  seed: int = 0) -> Scenario:
+    """Build a scenario: receiver at `rec_geo` (default: the reference's
+    golden-fix coordinates, README.md:185), `n_sats` visible satellites
+    with randomized ephemerides, nav streams covering `duration_sec`."""
+    rng = np.random.default_rng(seed)
+    rec_ecef = np.array(geo_to_ecef(*rec_geo))
+    t_rx0 = orbits.tsv_of_tow(tow0) + rx_start_offset
+    sats = []
+    prns = rng.choice(np.arange(2, 33), size=n_sats, replace=False)
+    n_subframes = int(np.ceil(duration_sec / 6)) + 3
+    for prn in prns:
+        eph = random_visible_ephemeris(rec_ecef, tow0, week, rng)
+        sat = SatScenario(prn=int(prn), eph=eph,
+                          amplitude=float(rng.uniform(0.7, 1.2)))
+        sat.build_nav_stream(tow0, n_subframes)
+        sats.append(sat)
+    return Scenario(cfg=cfg, rec_geo=rec_geo, rec_ecef=rec_ecef, week=week,
+                    tow0=tow0, t_rx0=t_rx0, sats=sats)
+
+
+def synth_scenario_blocks(scn: Scenario, first_block: int, n_blocks: int,
+                          noise_std: float = 0.6,
+                          seed: int = 1) -> np.ndarray:
+    """Generate blocks [first_block, first_block+n_blocks) of the
+    scenario's IQ stream; complex64[n_blocks, ngps].
+
+    Propagation delay and SV clock are evaluated at 1 ms knots and
+    linearly interpolated per sample (tau varies < 3 us/s, so knot
+    interpolation error is sub-millimeter).
+    """
+    cfg = scn.cfg
+    fs = cfg.sample_rate
+    n = n_blocks * cfg.ngps
+    sample0 = first_block * cfg.ngps
+    t = scn.t_rx0 + (sample0 + np.arange(n + 1, dtype=np.float64)) / fs
+    knot_step = cfg.code_samples                      # 1 ms
+    knots = t[::knot_step]
+    frac = (np.arange(n, dtype=np.float64) % knot_step) / knot_step
+
+    out = np.zeros(n, dtype=np.complex128)
+    for sat in scn.sats:
+        chips = ca_chips(sat.prn).astype(np.float64)
+        tau_k, tau_sv_k = scn.sat_states(knots, sat)
+        k_idx = np.arange(n) // knot_step
+        tau = tau_k[k_idx] * (1 - frac) + tau_k[k_idx + 1] * frac
+        tau_sv = tau_sv_k[k_idx] * (1 - frac) + tau_sv_k[k_idx + 1] * frac
+        # carrier: keep only the time-varying part of f*tau in the phase
+        # (constant offset is an arbitrary carrier phase) to preserve
+        # float64 precision
+        dtau = tau - tau_k[0]
+        phase = -2.0 * np.pi * np.mod(L1_FREQ * dtau, 1.0)
+        # code chip + nav bit indexed by SV clock time
+        ms = np.floor(tau_sv * 1000.0)
+        chip_idx = np.floor((tau_sv * 1000.0 - ms)
+                            * CA_CHIPS).astype(np.int64) % CA_CHIPS
+        bit_idx = np.floor(tau_sv * 1000.0 / BIT_MS).astype(np.int64) \
+            - sat.bit0
+        bits = sat.nav_stream[np.clip(bit_idx, 0,
+                                      len(sat.nav_stream) - 1)]
+        # cos/sin rather than np.exp(1j*x) — numpy complex exp is ~100x
+        # slower than separate real trig on some hosts
+        out += (sat.amplitude * bits * chips[chip_idx]
+                * (np.cos(phase) + 1j * np.sin(phase)))
+
+    out = out.reshape(n_blocks, cfg.ngps)
+    if noise_std > 0:
+        for b in range(n_blocks):
+            rng = np.random.default_rng((seed, first_block + b))
+            out[b] += noise_std * (rng.standard_normal(cfg.ngps)
+                                   + 1j * rng.standard_normal(cfg.ngps))
+    return out.astype(np.complex64)

@@ -1,0 +1,115 @@
+"""Core DSP primitives for acquisition and tracking.
+
+Pure jittable/vmappable functions in complex64/float32 (the reference's
+deliberate DSP dtype policy, src/gpsglob.py:127-131).  These replace the
+reference's scipy.fft hot loops (src/gpslib.py:1315-1346,
+src/gpsrecv.py:232-274) with batched XLA programs.
+
+Conventions match the reference exactly:
+  * Doppler wipeoff multiplies by exp(-j(phase + 2*pi*f*t)) with
+    t = (1..N)/fs (one-based sample times! gpsrecv.py:32, gpslib.py:1053).
+  * Circular correlation is |ifft(fft(data_seg_mean) * conj(fft(code)))|;
+    a peak at index DS means the code starts DS samples into the data
+    (gpslib.py:1308-1327).
+  * A peak is accepted if (max - mean)/std > corr_min (gpslib.py:1293).
+  * Sub-sample code phase is the mean of a triangle fit and a parabola
+    fit around the peak (gpslib.py:1268-1290).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gps_sdr_tpu.ops.dft import dft, idft
+
+Array = jax.Array
+
+
+def as_complex_input(x: Array) -> Array:
+    """Accept complex64[...] or f32[..., 2] re/im pairs (the deployment
+    tunnel only transfers f32 across host<->device)."""
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return x
+    return jax.lax.complex(x[..., 0], x[..., 1])
+
+
+def doppler_mix(data: Array, freq: Array, phase: Array,
+                sample_rate: float) -> tuple[Array, Array]:
+    """Wipe off Doppler: data * exp(-j(phase + 2*pi*f*t)), t=(1..N)/fs.
+
+    Returns the mixed block and the carrier phase advanced to the end of
+    the block, wrapped to [0, 2*pi) (reference demodDoppler,
+    src/gpslib.py:1343-1346).
+    """
+    n = data.shape[-1]
+    t = (jnp.arange(1, n + 1, dtype=jnp.float32)) / jnp.float32(sample_rate)
+    ang = jnp.float32(phase) + jnp.float32(2.0 * jnp.pi) * jnp.float32(freq) * t
+    mixed = data * jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
+    new_phase = jnp.remainder(ang[-1], jnp.float32(2.0 * jnp.pi))
+    return mixed, new_phase
+
+
+def segment_fft_mean(data: Array, code_samples: int, first_seg: int,
+                     n_avg: int) -> Array:
+    """Mean of the FFTs of `n_avg` code-length segments of `data`.
+
+    Segments are taken starting at segment index `first_seg` (static), so
+    tracking can correlate against the center of the block
+    (gpslib.py:1315-1323: p = (n_cyc - corr_avg)//2).
+    """
+    segs = data[first_seg * code_samples:(first_seg + n_avg) * code_samples]
+    segs = segs.reshape(n_avg, code_samples)
+    return jnp.mean(dft(segs), axis=0)
+
+
+def circ_correlate(fft_data: Array, code_fft: Array) -> Array:
+    """|idft(fft_data * conj(code_fft))| — circular correlation magnitude.
+
+    DFTs run as MXU matmuls on accelerators (ops/dft.py)."""
+    return jnp.abs(idft(fft_data * jnp.conjugate(code_fft)))
+
+
+def fit_peak(corr: Array, mx: Array) -> Array:
+    """Sub-sample peak location: mean of triangle and parabola fits.
+
+    Mirrors fitCodePhase (src/gpslib.py:1268-1290); neighbours wrap
+    circularly.  Returns a float32 code phase in [-0.5, len(corr)-0.5).
+    """
+    n = corr.shape[-1]
+    cm = corr[(mx - 1) % n]
+    cp = corr[(mx + 1) % n]
+    c0 = corr[mx]
+    tri = jnp.where(cm > cp,
+                    0.5 * (cp - cm) / (c0 - cp),
+                    0.5 * (cp - cm) / (c0 - cm))
+    par = 0.5 * (cp - cm) / (2.0 * c0 - cp - cm)
+    return mx.astype(jnp.float32) + 0.5 * (tri + par)
+
+
+def peak_metrics(corr: Array, corr_min: float) -> tuple[Array, Array, Array]:
+    """(delay, code_phase, norm_max) from a correlation curve.
+
+    delay = argmax if the normalized peak exceeds corr_min else -1;
+    code_phase is the sub-sample fit (or -1.0).  Mirrors findCodePhase
+    (src/gpslib.py:1293-1304).
+    """
+    mean = jnp.mean(corr)
+    std = jnp.std(corr)
+    mx = jnp.argmax(corr)
+    norm_max = (corr[mx] - mean) / std
+    found = norm_max > corr_min
+    delay = jnp.where(found, mx.astype(jnp.int32), jnp.int32(-1))
+    code_phase = jnp.where(found, fit_peak(corr, mx), jnp.float32(-1.0))
+    return delay, code_phase, norm_max
+
+
+def roll_code(code: Array, delay: Array) -> Array:
+    """Circularly roll a code right by `delay` samples (dynamic).
+
+    Equivalent to np.roll(code, +delay); used for code wipeoff
+    (gpslib.py:1400: np.roll(CACODE_REP, delay) == tile(roll(code, delay))).
+    """
+    n = code.shape[-1]
+    idx = (jnp.arange(n) - delay) % n
+    return code[idx]

@@ -1,0 +1,479 @@
+"""Scan-based per-channel code/carrier tracking.
+
+TPU-native redesign of the reference's per-satellite worker processes:
+`class SatStream` (src/gpslib.py:1044-1634) ran one mutable state machine
+per OS process, fed 32 ms blocks over multiprocessing queues
+(src/gpsrecv.py:300-417).  Here every `self.X` becomes a field of the
+`ChannelState` pytree, channels are a vmapped batch axis, and blocks are
+consumed by `lax.scan` — one jitted program tracks all channels for a
+whole ~1 s chunk without touching the host.
+
+Semantics preserved per block (reference SatStream.process,
+gpslib.py:1141-1210):
+  1. stream-skip detection -> erase demod carry state (gpslib.py:1143-46)
+  2. Doppler wipeoff with continuous carrier phase (gpslib.py:1178)
+  3. FFT circular correlation of `corr_avg` center code periods ->
+     integer delay + sub-sample code phase (gpslib.py:1179, 1315-1327)
+  4. correlation-quality history ring (CORRLST, gpslib.py:1331-1339)
+  5. code wipeoff + per-ms coherent integration with block-boundary
+     carryover (decodeData, gpslib.py:1394-1446); the variable-length
+     PREV_SAMPLES tail becomes a (sum, count) scalar carry
+  6. bit-edge event detection with 3-sigma amplitude gate -> fixed-size
+     event slots (gpslib.py:1421-1434)
+  7. phase-locked loop: arctan(Q/I), pi-step unwrap, drift feed-forward
+     from a ring of recent df values, 20 Hz/s slew limit
+     (phaseLockedLoop, gpslib.py:1215-1262)
+
+Sweep (re-acquisition) is *not* a device-side branch: under vmap both
+sides of a cond execute for every lane, so the reference's per-channel
+incremental sweep (gpslib.py:1362-1380) would multiply the hot-path cost
+for all channels.  Instead the step emits a `sweep_request` flag and the
+host services it between chunks with one batched full-grid acquisition
+(ops/acquisition.py) — same trigger (60 s correlation quality < -0.9,
+gpslib.py:1134-1138), strictly faster re-acquisition.
+
+Bit/subframe assembly stays on the host (models/navmsg.py): edges arrive
+at <= 50 events/s/channel, far below device bandwidth concerns.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.ops import dsp
+
+Array = jax.Array
+
+
+class ChannelState(NamedTuple):
+    """Per-channel tracking state; every field mirrors a SatStream member."""
+
+    prn: Array            # i32; 0 = slot empty
+    active: Array         # bool
+    freq: Array           # f32, Doppler estimate (SatStream.FREQ)
+    phase: Array          # f32, carrier phase accumulator (SatStream.PHASE)
+    delay: Array          # i32, integer code phase (SatStream.DELAY)
+    locked: Array         # bool (SatStream.PHASE_LOCKED)
+    ms_time: Array        # i32, ms since lock (SatStream.MS_TIME)
+    std_dev: Array        # f32 (SatStream.STD_DEV; edge gate uses prev block)
+    prev_stream: Array    # i32 (SatStream.PREV_STREAM_NO)
+    prev_signal: Array    # f32 (SatStream.PREV_SIGNAL)
+    sign0: Array          # i8; EDGES[0]: sign of first mean after lock
+    prev_sign: Array      # i8; sign after the last accepted edge
+    carry_sum: Array      # c64; sum of the partial tail segment
+    carry_cnt: Array      # i32; samples in the tail (= len(PREV_SAMPLES))
+    df_buf: Array         # f32[no_sec]; ring of recent df (SatStream.DF)
+    df_cnt: Array         # i32
+    df_idx: Array         # i32; next write slot
+    corr_buf: Array       # i8[corr_hist_len] (SatStream.CORRLST)
+    corr_cnt: Array       # i32
+    corr_idx: Array       # i32
+
+
+class ChannelOut(NamedTuple):
+    """Per-block outputs (host consumes one stacked chunk per second)."""
+
+    code_phase: Array     # f32; sub-sample code phase, -1 if no peak
+    delay: Array          # i32
+    norm_max: Array       # f32; normalized correlation peak height
+    amplitude: Array      # f32
+    corr_q: Array         # f32; 60 s correlation quality
+    corr_l: Array         # f32; 1 s correlation quality
+    freq: Array           # f32
+    locked: Array         # bool
+    erased: Array         # bool; stream skip wiped edge/bit continuity
+    sweep_request: Array  # bool; host should re-acquire this channel
+    sign0: Array          # i8; current first-sign state (for host EDGES[0])
+    edge_ms: Array        # i32[n_cyc+1]; ms_time of edge events
+    edge_local: Array     # i32[n_cyc+1]; sample offset of event segment
+                          #   start, relative to this block's first sample
+    edge_valid: Array     # bool[n_cyc+1]
+
+
+as_complex = dsp.as_complex_input
+
+
+def to_f32_pairs(x) -> "np.ndarray":
+    """Host-side complex -> f32[..., 2] for upload."""
+    x = np.asarray(x)
+    return np.stack([x.real.astype(np.float32),
+                     x.imag.astype(np.float32)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def init_channel_states(cfg: ReceiverConfig, n_channels: int) -> ChannelState:
+    # jitted so the buffers are CREATED on device: eager jnp.zeros would
+    # device_put a host constant, and the deployment tunnel cannot
+    # transfer non-f32 dtypes.
+    # NOTE: every field gets its own buffer — the state pytree is donated
+    # to jitted updates, and aliased leaves would be double-donated
+    c = n_channels
+
+    def z32():
+        return jnp.zeros((c,), jnp.int32)
+
+    def zf():
+        return jnp.zeros((c,), jnp.float32)
+
+    return ChannelState(
+        prn=z32(), active=jnp.zeros((c,), bool), freq=zf(), phase=zf(),
+        delay=z32(), locked=jnp.zeros((c,), bool), ms_time=z32(),
+        std_dev=jnp.full((c,), 0.005, jnp.float32), prev_stream=z32(),
+        prev_signal=zf(), sign0=jnp.zeros((c,), jnp.int8),
+        prev_sign=jnp.zeros((c,), jnp.int8),
+        carry_sum=jnp.zeros((c,), jnp.complex64), carry_cnt=z32(),
+        df_buf=jnp.zeros((c, cfg.no_sec), jnp.float32),
+        df_cnt=jnp.ones((c,), jnp.int32), df_idx=jnp.ones((c,), jnp.int32),
+        corr_buf=jnp.zeros((c, cfg.corr_hist_len), jnp.int8),
+        corr_cnt=jnp.ones((c,), jnp.int32),
+        corr_idx=jnp.ones((c,), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _reset_slot(cfg: ReceiverConfig, state: ChannelState, slot_f, prn_f,
+                freq_f, delay_f, active_f) -> ChannelState:
+    """All-scalar-f32 slot reset (f32-only transfer boundary)."""
+    slot = slot_f.astype(jnp.int32)
+    one = init_channel_states(cfg, 1)
+    new = one._replace(
+        prn=prn_f.astype(jnp.int32)[None],
+        active=(active_f > 0)[None],
+        freq=freq_f[None],
+        delay=delay_f.astype(jnp.int32)[None],
+        prev_stream=jax.lax.dynamic_slice(state.prev_stream, (slot,), (1,)),
+    )
+    return jax.tree.map(
+        lambda s, n: jax.lax.dynamic_update_index_in_dim(s, n[0], slot, 0),
+        state, new)
+
+
+def reset_channel(state: ChannelState, slot: int, prn: int, freq: float,
+                  delay: int, cfg: ReceiverConfig,
+                  active: bool = True) -> ChannelState:
+    """Host-side (re)initialization of one channel slot.
+
+    Equivalent to constructing a fresh SatStream (gpslib.py:1050-1091) or
+    to setPhaseUnlocked + frequency update after a sweep
+    (gpslib.py:1102-1120).
+    """
+    return _reset_slot(cfg, state, jnp.float32(slot), jnp.float32(prn),
+                       jnp.float32(freq), jnp.float32(delay),
+                       jnp.float32(1.0 if active else 0.0))
+
+
+# ---------------------------------------------------------------------------
+
+
+def _decode_means(mixed: Array, code: Array, delay: Array, carry_sum: Array,
+                  carry_cnt: Array, cfg: ReceiverConfig):
+    """Code wipeoff + per-ms coherent means with scalar tail carry.
+
+    Replaces decodeData's variable-length PREV_SAMPLES concatenation
+    (gpslib.py:1394-1446): segment boundaries sit at delay + k*2048, the
+    leading partial segment is completed from (carry_sum, carry_cnt), and
+    the trailing partial segment becomes the next carry.  Emits a fixed
+    n_cyc+1 slot layout: slot 0 = carry-completed mean (may be invalid),
+    slots 1..n_cyc = full segments (last one invalid unless delay == 0).
+    """
+    cs, n_cyc, ngps = cfg.code_samples, cfg.n_cyc, cfg.ngps
+    rolled = dsp.roll_code(code, delay)
+    prod = mixed * jnp.tile(rolled, n_cyc)
+    padded = jnp.concatenate([prod, jnp.zeros((cs,), prod.dtype)])
+    head = jnp.sum(jnp.where(jnp.arange(cs) < delay, prod[:cs], 0))
+    shifted = jax.lax.dynamic_slice(padded, (delay,), (ngps,))
+    seg_sums = jnp.sum(shifted.reshape(n_cyc, cs), axis=1)
+
+    cnt0 = carry_cnt + delay
+    mean0 = (carry_sum + head) / jnp.maximum(cnt0, 1).astype(jnp.float32)
+    v0 = cnt0 > 0
+    k_full = n_cyc - (delay > 0).astype(jnp.int32)   # complete segments
+
+    means = jnp.concatenate([mean0[None], seg_sums / jnp.float32(cs)])
+    starts = jnp.concatenate([
+        (-carry_cnt)[None],
+        delay + cs * jnp.arange(n_cyc, dtype=jnp.int32),
+    ]).astype(jnp.int32)
+    valid = jnp.concatenate([
+        v0[None], jnp.arange(n_cyc, dtype=jnp.int32) < k_full])
+
+    new_carry_sum = jnp.where(delay > 0, seg_sums[n_cyc - 1],
+                              jnp.complex64(0))
+    new_carry_cnt = jnp.where(delay > 0, cs - delay, 0).astype(jnp.int32)
+
+    # Compact so valid means are contiguous and time-ordered.
+    means = jnp.where(v0, means, jnp.roll(means, -1))
+    starts = jnp.where(v0, starts, jnp.roll(starts, -1))
+    n_valid = k_full + v0.astype(jnp.int32)
+    mask = jnp.arange(n_cyc + 1) < n_valid
+    return means, starts, mask, n_valid, new_carry_sum, new_carry_cnt
+
+
+def _edge_scan(means: Array, starts: Array, mask: Array, locked: Array,
+               min_edge_amp: Array, sign0, prev_sign, prev_signal, ms_time):
+    """Bit-edge event detection (decodeData inner loop, gpslib.py:1421-1434).
+
+    Sequential over the <=33 per-ms means of one block (a 33-step scalar
+    lax.scan per channel lane — negligible), because an accepted edge
+    changes the reference sign for subsequent ms.
+    """
+    def body(carry, x):
+        s0, psign, psig, mst = carry
+        m, start, valid = x
+        do = valid & locked
+        re = m.real
+        msign = jnp.where(re >= 0, 1, -1).astype(jnp.int8)
+        first = s0 == 0
+        is_edge = ((~first) & (msign != psign)
+                   & (psign.astype(jnp.float32) * psig > 0)
+                   & (jnp.abs(re - psig) > min_edge_amp))
+        s0 = jnp.where(do & first, msign, s0)
+        psign = jnp.where(do & (first | is_edge), msign, psign)
+        emit = do & is_edge
+        psig = jnp.where(do, re, psig)
+        mst_out = mst
+        mst = mst + do.astype(jnp.int32)
+        return (s0, psign, psig, mst), (mst_out, start, emit)
+
+    (sign0, prev_sign, prev_signal, ms_time), (ems, est, evalid) = \
+        jax.lax.scan(body, (sign0, prev_sign, prev_signal, ms_time),
+                     (means, starts, mask))
+    return sign0, prev_sign, prev_signal, ms_time, ems, est, evalid
+
+
+def _pll(means: Array, mask: Array, n_valid: Array, locked: Array,
+         df_buf: Array, df_cnt: Array, df_idx: Array, cfg: ReceiverConfig):
+    """Carrier PLL (phaseLockedLoop, gpslib.py:1215-1262), vectorized.
+
+    The reference's sequential pi-step unwrap becomes a cumulative sum of
+    jump indicators; the DF drift history list becomes a ring buffer.
+    """
+    no_sec = cfg.no_sec
+    max_df = jnp.float32(cfg.pll_max_df_per_sec / no_sec)
+    ns = means.shape[0]
+    phase = jnp.arctan(means.imag / means.real)
+    deltas = jnp.diff(phase)
+    dmask = (jnp.arange(1, ns) < n_valid)
+    steps = jnp.where(dmask & (jnp.abs(deltas) > cfg.pll_phase_jump),
+                      -jnp.sign(deltas), 0.0)
+    real_phase = phase + jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32),
+         jnp.cumsum(steps)]) * jnp.float32(np.pi)
+    fmask = mask.astype(jnp.float32)
+    nv = jnp.maximum(n_valid, 1).astype(jnp.float32)
+    phase_dev = jnp.sum(real_phase * fmask) / nv
+    tail = ((jnp.arange(ns) >= n_valid - cfg.pll_offset_avg)
+            & mask).astype(jnp.float32)
+    phase_offset = jnp.sum(real_phase * tail) / jnp.maximum(
+        jnp.sum(tail), 1.0)
+
+    mean_df = jnp.sum(df_buf) / jnp.maximum(df_cnt, 1).astype(jnp.float32)
+    df_locked = jnp.clip(jnp.float32(cfg.pll_gain_locked) * phase_dev
+                         + mean_df, -max_df, max_df)
+    df_unlocked = jnp.float32(cfg.pll_gain_unlocked) * phase_dev
+    df = jnp.where(locked, df_locked, df_unlocked)
+
+    # locked: push df into the ring; unlocked: reset ring to [df].
+    pos = jnp.where(df_cnt < no_sec, df_cnt, df_idx % no_sec)
+    buf_locked = df_buf.at[pos].set(df)
+    cnt_locked = jnp.minimum(df_cnt + 1, no_sec)
+    idx_locked = jnp.where(df_cnt < no_sec, df_idx,
+                           (df_idx + 1) % no_sec)
+    buf_unlocked = jnp.zeros_like(df_buf).at[0].set(df)
+    df_buf = jnp.where(locked, buf_locked, buf_unlocked)
+    df_cnt = jnp.where(locked, cnt_locked, 1)
+    df_idx = jnp.where(locked, idx_locked, 1)
+
+    new_locked = locked | (jnp.abs(phase_dev) < cfg.pll_lock_threshold)
+    return df, phase_offset, new_locked, df_buf, df_cnt, df_idx
+
+
+def _corr_quality(found: Array, buf: Array, cnt: Array, idx: Array,
+                  cfg: ReceiverConfig):
+    """Correlation-quality history ring (corrQuality, gpslib.py:1331-1339)."""
+    hist = cfg.corr_hist_len
+    cpq = jnp.where(found, 1, -1).astype(jnp.int8)
+    pos = jnp.where(cnt < hist, cnt, idx % hist)
+    buf = buf.at[pos].set(cpq)
+    cnt = jnp.minimum(cnt + 1, hist)
+    idx = jnp.where(cnt < hist, idx, (idx + 1) % hist)
+    corr_q = jnp.sum(buf, dtype=jnp.float32) / cnt.astype(jnp.float32)
+    offs = jnp.arange(cfg.no_sec)
+    last_pos = jnp.where(cnt < hist, cnt - 1 - offs, (idx - 1 - offs) % hist)
+    lmask = offs < jnp.minimum(cnt, cfg.no_sec)
+    vals = jnp.where(lmask, buf[jnp.clip(last_pos, 0, hist - 1)], 0)
+    corr_l = jnp.sum(vals, dtype=jnp.float32) / jnp.maximum(
+        jnp.sum(lmask), 1).astype(jnp.float32)
+    return buf, cnt, idx, corr_q, corr_l
+
+
+def channel_step(cfg: ReceiverConfig, state: ChannelState, block: Array,
+                 stream_no: Array, code: Array,
+                 code_fft: Array) -> tuple[ChannelState, ChannelOut]:
+    """One 32 ms tracking step for one channel (vmap over channels).
+
+    Mirror of SatStream.process's tracking branch (gpslib.py:1141-1210).
+    """
+    # 1. stream-skip detection (gpslib.py:1143-1146)
+    skipped = stream_no - 1 != state.prev_stream
+    erase = skipped & state.active
+    sign0 = jnp.where(erase, jnp.int8(0), state.sign0)
+    prev_sign = jnp.where(erase, jnp.int8(0), state.prev_sign)
+    carry_sum = jnp.where(erase, jnp.complex64(0), state.carry_sum)
+    carry_cnt = jnp.where(erase, 0, state.carry_cnt)
+
+    # 2. Doppler wipeoff with continuous phase
+    mixed, phase_end = dsp.doppler_mix(block, state.freq, state.phase,
+                                       cfg.sample_rate)
+
+    # 3. correlation on the center of the block
+    first_seg = (cfg.n_cyc - cfg.corr_avg) // 2
+    fft_mean = dsp.segment_fft_mean(mixed, cfg.code_samples, first_seg,
+                                    cfg.corr_avg)
+    corr = dsp.circ_correlate(fft_mean, code_fft)
+    delay, code_phase, norm_max = dsp.peak_metrics(corr, cfg.corr_min)
+
+    # 4. correlation quality history
+    corr_buf, corr_cnt, corr_idx, corr_q, corr_l = _corr_quality(
+        delay >= 0, state.corr_buf, state.corr_cnt, state.corr_idx, cfg)
+    new_delay = jnp.where(delay >= 0, delay, state.delay)
+
+    # 5. code wipeoff + per-ms means
+    means, starts, mask, n_valid, carry_sum, carry_cnt = _decode_means(
+        mixed, code, new_delay, carry_sum, carry_cnt, cfg)
+
+    # 6. bit-edge events (gate amplitude with the previous block's sigma,
+    #    exactly as decodeData reads STD_DEV before process updates it)
+    min_edge_amp = jnp.float32(cfg.edge_sigma) * state.std_dev
+    sign0, prev_sign, prev_signal, ms_time, ems, est, evalid = _edge_scan(
+        means, starts, mask, state.locked, min_edge_amp, sign0, prev_sign,
+        state.prev_signal, state.ms_time)
+
+    mag = jnp.abs(means)
+    fmask = mask.astype(jnp.float32)
+    nv = jnp.maximum(n_valid, 1).astype(jnp.float32)
+    amp_mean = jnp.sum(mag * fmask) / nv
+    std_dev = jnp.sqrt(jnp.maximum(
+        jnp.sum(mag * mag * fmask) / nv - amp_mean * amp_mean, 1e-12))
+    amplitude = amp_mean / std_dev
+
+    # 7. PLL
+    df, phase_offset, locked, df_buf, df_cnt, df_idx = _pll(
+        means, mask, n_valid, state.locked, state.df_buf, state.df_cnt,
+        state.df_idx, cfg)
+    new_phase = jnp.remainder(phase_end + phase_offset,
+                              jnp.float32(2 * np.pi))
+    new_freq = jnp.clip(state.freq + df, cfg.min_freq, cfg.max_freq)
+
+    sweep_request = ((corr_cnt >= cfg.corr_hist_len)
+                     & (corr_q < cfg.min_corr_q) & state.active)
+
+    computed = ChannelState(
+        prn=state.prn, active=state.active, freq=new_freq, phase=new_phase,
+        delay=new_delay, locked=locked, ms_time=ms_time, std_dev=std_dev,
+        prev_stream=stream_no, prev_signal=prev_signal, sign0=sign0,
+        prev_sign=prev_sign, carry_sum=carry_sum, carry_cnt=carry_cnt,
+        df_buf=df_buf, df_cnt=df_cnt, df_idx=df_idx, corr_buf=corr_buf,
+        corr_cnt=corr_cnt, corr_idx=corr_idx)
+    # inactive slots: keep state frozen except the stream counter
+    # (state.active is a scalar here — vmap supplies the channel axis)
+    new_state = jax.tree.map(
+        lambda c, s: jnp.where(state.active, c, s),
+        computed, state._replace(prev_stream=stream_no))
+
+    act = state.active
+    out = ChannelOut(
+        code_phase=jnp.where(act, code_phase, -1.0),
+        delay=jnp.where(act, new_delay, 0),
+        norm_max=jnp.where(act, norm_max, 0.0),
+        amplitude=jnp.where(act, amplitude, 0.0),
+        corr_q=jnp.where(act, corr_q, 0.0),
+        corr_l=jnp.where(act, corr_l, 0.0),
+        freq=jnp.where(act, new_freq, 0.0),
+        locked=act & locked,
+        erased=erase,
+        sweep_request=sweep_request,
+        sign0=jnp.where(act, sign0, jnp.int8(0)),
+        edge_ms=ems, edge_local=est, edge_valid=evalid & act)
+    return new_state, out
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=(1,))
+def track_chunk(cfg: ReceiverConfig, states: ChannelState, blocks: Array,
+                stream_no0: Array, codes: Array,
+                code_ffts: Array) -> tuple[ChannelState, ChannelOut]:
+    """Track all channels over a chunk of T consecutive blocks.
+
+    blocks: complex64[T, ngps] or f32[T, ngps, 2] re/im pairs;
+    stream_no0: stream number of blocks[0] as an int or f32 scalar
+    (consecutive within the chunk — the host introduces skip gaps only at
+    chunk boundaries, mirroring the reference's once-per-second cadence);
+    codes: f32[n_channels, code_samples]; code_ffts: same shape rules as
+    blocks.  All cross-boundary payloads are f32-representable (the
+    deployment tunnel transfers only f32); ChannelOut leaves come back as
+    f32 — use outs_to_numpy() on the host.
+
+    Returns final states (device-resident pytree; never transfer it
+    directly) and per-block outputs stacked on axis 0.
+    """
+    blocks = as_complex(blocks)
+    code_ffts = as_complex(code_ffts)
+    stream0 = jnp.asarray(stream_no0).astype(jnp.int32)
+    step = jax.vmap(
+        functools.partial(channel_step, cfg),
+        in_axes=(0, None, None, 0, 0), out_axes=0)
+
+    t = blocks.shape[0]
+
+    def body(carry, x):
+        block, sno = x
+        new_states, out = step(carry, block, sno, codes, code_ffts)
+        return new_states, out
+
+    stream_nos = stream0 + jnp.arange(t, dtype=jnp.int32)
+    states, outs = jax.lax.scan(body, states, (blocks, stream_nos))
+    outs = jax.tree.map(lambda x: x.astype(jnp.float32), outs)
+    return states, outs
+
+
+_OUT_DTYPES = {
+    "delay": np.int32, "locked": bool, "erased": bool,
+    "sweep_request": bool, "sign0": np.int8, "edge_ms": np.int32,
+    "edge_local": np.int32, "edge_valid": bool,
+}
+
+
+def outs_to_numpy(outs: ChannelOut) -> ChannelOut:
+    """Fetch a ChannelOut to the host and restore natural dtypes."""
+    host = {}
+    for name in ChannelOut._fields:
+        v = np.asarray(getattr(outs, name))
+        dt = _OUT_DTYPES.get(name)
+        if dt is bool:
+            v = v > 0.5
+        elif dt is not None:
+            v = np.rint(v).astype(dt)
+        host[name] = v
+    return ChannelOut(**host)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def summarize_states(cfg: ReceiverConfig, states: ChannelState) -> dict:
+    """f32 view of the per-channel state for host-side policy/reporting
+    (the tunnel cannot transfer int/bool/complex leaves)."""
+    return {
+        "prn": states.prn.astype(jnp.float32),
+        "active": states.active.astype(jnp.float32),
+        "freq": states.freq,
+        "delay": states.delay.astype(jnp.float32),
+        "locked": states.locked.astype(jnp.float32),
+        "ms_time": states.ms_time.astype(jnp.float32),
+        "amplitude_sigma": states.std_dev,
+        "corr_cnt": states.corr_cnt.astype(jnp.float32),
+    }

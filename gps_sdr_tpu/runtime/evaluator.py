@@ -1,0 +1,286 @@
+"""Evaluation pipeline: subframes + code phases -> position fixes.
+
+Host-side replacement for the reference evaluator process
+(src/gpseval.py): code-phase overflow/phase-error hygiene
+(cpOflCorrection/prepCodePhase, gpseval.py:372-457), routing into the
+per-satellite pseudorange engines (evalData, gpseval.py:197-232), epoch
+grouping + weighted Gauss-Newton fixes (ecefPositions,
+gpseval.py:235-317), and outlier-gated running statistics
+(ecefStatistics/meanSecPosition, gpseval.py:320-369).
+
+In the reference this runs in its own OS process fed by UDP pickles; here
+it's a plain object fed by the tracking runtime's epoch results — the
+pipeline boundary is a host-side function call (SURVEY.md P2).
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.models.ephemeris import SatStatus
+from gps_sdr_tpu.models.pseudorange import PseudorangeEngine
+from gps_sdr_tpu.ops.pvt import solve_fix
+from gps_sdr_tpu.utils.gpstime import gps_datetime
+
+
+# -- code-phase hygiene -------------------------------------------------------
+
+def unwrap_code_phases(sat_no: int, cplst: list, err_stream: dict,
+                       prev_tail: tuple | None, cfg: ReceiverConfig,
+                       log: list | None = None):
+    """Unwrap 0<->2047 overflows within one code-phase list and vote
+    for phase errors (cpOflCorrection, gpseval.py:377-417).
+
+    A step between neighbours larger than (1 + 0.2*(gap-1)) samples is
+    physically impossible (max drift 6.6 samples/s) and counts as a
+    possible phase error for every stream in the gap; `err_stream`
+    accumulates votes across satellites.  `prev_tail` is the previous
+    list's last (sno, cp) for cross-list continuity checks.
+    """
+    diff_tol = 200
+    max_diff_no = cfg.n_cyc // 4
+    cs = cfg.code_samples
+    cpl = list(cplst)
+    ovfl = 0
+    pno, pcp = cpl[0]
+    for i in range(1, len(cpl)):
+        no, cp = cpl[i]
+        cp += ovfl * cs
+        diff = pcp - cp
+        if abs(abs(diff) - cs) <= diff_tol:
+            cp += np.sign(diff) * cs
+            ovfl += np.sign(diff)
+        if abs(cp - pcp) > (1 + (no - pno - 1) * 0.2):
+            if log is not None:
+                log.append(f"{no} [{no-pno}]: code-phase step "
+                           f"{abs(cp-pcp):.2f} - possible phase error")
+            for j in range(no - pno):
+                err_stream[no - j] = err_stream.get(no - j, 0) + 1
+        cpl[i] = (no, cp)
+        pno, pcp = no, cp
+
+    if cpl and prev_tail is not None:
+        no, cp = cpl[0]
+        pno, pcp = prev_tail
+        if no - pno <= max_diff_no:
+            diff = pcp - cp
+            if abs(abs(diff) - cs) <= diff_tol:
+                cp += np.sign(diff) * cs
+            if abs(cp - pcp) > (1 + (no - pno - 1) * 0.2):
+                if log is not None:
+                    log.append(f"{no} [{no-pno}]: cross-list step "
+                               f"{abs(cp-pcp):.2f} - possible phase error")
+                for j in range(no - pno):
+                    err_stream[no - j] = err_stream.get(no - j, 0) + 1
+    return cpl, err_stream
+
+
+# -- evaluator ----------------------------------------------------------------
+
+@dataclass
+class EpochInput:
+    """One reporting interval's worth of receiver output (the payload the
+    reference pickles over UDP once per second, gpsrecv.py:509-519)."""
+
+    skipped_samples: int
+    frames: list                      # subframe dicts incl. SAT/AMP/CRM/FRQ
+    code_phases: dict                 # {sat_no: [(stream_no, cp), ...]}
+
+
+@dataclass
+class Evaluator:
+    cfg: ReceiverConfig
+    preloaded_ephem: dict = field(default_factory=dict)
+
+    engines: dict = field(default_factory=dict)     # sat_no -> engine
+    sat_log: dict = field(default_factory=dict)
+    coph_tails: dict = field(default_factory=dict)  # sat_no -> (sno, cp)
+    sat_results: list = field(default_factory=list)
+    positions: list = field(default_factory=list)   # [posix_t, x, y, z]
+    outliers: list = field(default_factory=list)
+    fix_failures: list = field(default_factory=list)
+    n_phase_errors: int = 0
+    skipped_blocks: int = 0
+    # running statistics
+    all_pos: list = field(default_factory=list)
+    stat: tuple | None = None        # (mean[3], std[3], n, n_outliers)
+    last_pos_time: float | None = None
+    warm_start: np.ndarray | None = None
+    # per-epoch status for reporting
+    err_msgs: dict = field(default_factory=dict)
+    sweep_flags: dict = field(default_factory=dict)
+
+    def engine(self, sat_no: int) -> PseudorangeEngine:
+        if sat_no not in self.engines:
+            self.sat_log[sat_no] = [f"LOG for Sat {sat_no}"]
+            self.engines[sat_no] = PseudorangeEngine(
+                sat_no, self.cfg,
+                preloaded_ephem=self.preloaded_ephem.get(sat_no))
+        return self.engines[sat_no]
+
+    # -- hygiene (prepCodePhase, gpseval.py:436-457) --
+
+    def _prep_code_phases(self, coph: dict) -> dict:
+        min_sat_err = 3
+        min_entries = self.cfg.n_cyc // 4
+        cpl, err_stream = {}, {}
+        for sat_no, lst in coph.items():
+            if len(lst) >= min_entries:
+                cpl[sat_no], err_stream = unwrap_code_phases(
+                    sat_no, lst, err_stream, self.coph_tails.get(sat_no),
+                    self.cfg, self.sat_log.get(sat_no))
+        for sat_no, lst in cpl.items():
+            if lst:
+                self.coph_tails[sat_no] = lst[-1]
+        if err_stream and max(err_stream.values()) >= min_sat_err:
+            # >= 3 satellites jumped at the same stream: a global stream
+            # loss corrupted every time reference -> poison-pill reset
+            key_sno = max(err_stream, key=err_stream.get)
+            for sat_no in self.sat_log:
+                self.sat_log[sat_no].append(
+                    f"{key_sno}: correlated phase error - new time ref")
+                cpl[sat_no] = [(key_sno, None)]
+            self.n_phase_errors += 1
+        return cpl
+
+    # -- per-satellite evaluation (evalData, gpseval.py:197-232) --
+
+    def _eval_sats(self, frames: list, cpl: dict):
+        sat_res = []
+        gps_time = None
+        for sf in frames:
+            sat_no = sf.get("SAT")
+            if sat_no is None:
+                continue
+            eng = self.engine(sat_no)
+            sf["EPH"] = "Ok" if eng.ephem_ok else ""
+            if sf.get("SWP"):
+                self.sweep_flags[sat_no] = "sweep"
+            if "ID" in sf:
+                eng.read_frame(sf)
+
+        active = set()
+        for sat_no, lst in cpl.items():
+            eng = self.engine(sat_no)
+            if eng.status > SatStatus.NOT_READY:
+                self.err_msgs[sat_no] = eng.status.name
+            res = eng.eval_code_phases(lst)
+            if res:
+                sat_res += res
+                active.add(sat_no)
+                if gps_time is None:
+                    tow, week, cyc = res[0][1], res[0][6], res[0][7]
+                    gps_time = gps_datetime(tow, week) + datetime.timedelta(
+                        seconds=cyc * self.cfg.n_cyc / 1000)
+        return sat_res, active, gps_time
+
+    # -- epoch grouping + fix (ecefPositions, gpseval.py:235-317) --
+
+    def _fix_epochs(self, sat_res: list):
+        cfg = self.cfg
+        min_sat = 3 if cfg.conf_height else 4
+        calc_sat = max(cfg.min_sat, min_sat)
+        rec_pos, sat_pos_list, fails = [], [], []
+        ptow = None
+        sat_res = sorted(sat_res, key=lambda e: (e[1], e[7], e[0]))
+        r = 0
+        while r < len(sat_res):
+            group = [sat_res[r]]
+            tow, cyc = sat_res[r][1], sat_res[r][7]
+            r += 1
+            while r < len(sat_res) and (sat_res[r][1], sat_res[r][7]) \
+                    == (tow, cyc):
+                group.append(sat_res[r])
+                r += 1
+            if len(group) < calc_sat:
+                continue
+            n = len(group)
+            coords = np.array([g[2:5] for g in group]).T     # [3, n]
+            delays = np.array([g[5] for g in group])
+            sigmas = np.array([g[8] for g in group])
+            week = group[0][6]
+            if tow != ptow:
+                sat_pos_list += [(g[0], tuple(g[2:5])) for g in group]
+            ptow = tow
+            try:
+                fix = solve_fix(
+                    coords, delays,
+                    std_dev=sigmas if cfg.lsf_weight else None,
+                    rec_pos0=self.warm_start, max_it=cfg.lsf_max_it,
+                    max_residual=cfg.max_residual / 10,
+                    height=cfg.height if cfg.conf_height else None,
+                    height_dev=cfg.height_dev)
+            except Exception:
+                fails.append((tow, cyc, "EXCEPTION"))
+                continue
+            if fix.residual <= cfg.max_residual:
+                t = gps_datetime(tow, week) + datetime.timedelta(
+                    seconds=cyc * cfg.n_cyc / 1000)
+                entry = fix.rec_pos.copy()
+                entry[0] = t.timestamp()
+                rec_pos.append(entry)
+                self.warm_start = np.concatenate(
+                    [[0.0], fix.rec_pos[1:]])
+                for g, rng, dly in zip(group, fix.range_est,
+                                       fix.meas_delay):
+                    self.sat_results.append(
+                        (g[0], tow, cyc, float(rng), float(dly)))
+            else:
+                fails.append((tow, cyc, "MAX_RESIDUAL"))
+        return sat_pos_list, rec_pos, fails
+
+    # -- statistics (ecefStatistics, gpseval.py:332-369) --
+
+    def _update_stats(self, rec_pos: list) -> list:
+        cfg = self.cfg
+        pts = [p[1:] for p in rec_pos]
+        new_time = rec_pos[0][0]
+        if self.last_pos_time is None:
+            self.last_pos_time = new_time
+        mean = (self.stat[0] if self.stat is not None
+                else np.mean(pts, axis=0))
+        gate = cfg.min_out_dist + (new_time - self.last_pos_time) \
+            * cfg.max_speed
+        dist = np.linalg.norm(np.asarray(pts) - mean, axis=1)
+        keep = []
+        for i, d in enumerate(dist):
+            if d > gate:
+                self.outliers.append(rec_pos[i])
+            else:
+                keep.append(rec_pos[i])
+        if keep:
+            self.all_pos += [p[1:] for p in keep]
+            self.last_pos_time = keep[-1][0]
+            n_avg = cfg.pos_avg_in_sec * (1024 // cfg.n_cyc)
+            window = self.all_pos[-n_avg:] if n_avg > 0 else self.all_pos
+            self.stat = (np.mean(window, axis=0), np.std(window, axis=0),
+                         len(window), len(self.outliers))
+        return keep
+
+    # -- public entry --
+
+    def process(self, epoch: EpochInput) -> dict:
+        """Consume one reporting interval; returns a summary dict."""
+        self.skipped_blocks += epoch.skipped_samples // self.cfg.ngps
+        cpl = self._prep_code_phases(epoch.code_phases)
+        sat_res, active, gps_time = self._eval_sats(epoch.frames, cpl)
+        sat_pos_list, rec_pos, fails = self._fix_epochs(sat_res)
+        self.fix_failures += fails
+        kept = self._update_stats(rec_pos) if rec_pos else []
+        self.positions += [list(map(float, p)) for p in kept]
+        return {
+            "gps_time": gps_time,
+            "active_sats": active,
+            "n_fixes": len(kept),
+            "n_fails": len(fails),
+            "sat_positions": sat_pos_list,
+            "fixes": kept,
+            "stat": self.stat,
+            "skipped_blocks": self.skipped_blocks,
+            "n_outliers": len(self.outliers),
+            "n_phase_errors": self.n_phase_errors,
+        }

@@ -1,0 +1,252 @@
+"""Receiver orchestrator: sample stream -> per-second epoch results.
+
+The host shell replacing the reference receiver process
+(src/gpsrecv.py:445-548): cold-start acquisition, channel lifecycle,
+chunked device tracking, nav-bit assembly, re-acquisition service, and
+epoch result emission.  Key architectural translation (SURVEY.md P1-P4):
+
+  reference                              here
+  ---------------------------------     --------------------------------
+  11 worker processes + mp.Queue RPC     one vmapped/jitted scan over all
+  per 32 ms block                        channel slots per ~1 s chunk
+  sweep throttled 10 steps/block         one-shot full-grid batched
+  across ~5 blocks                       acquisition kernel
+  UDP pickle to the evaluator            EpochInput handed to the caller
+  b'SWEEP'/b'STOP' command datagrams     request_sweep()/stop() methods
+
+Blocks are batched into chunks of `no_sec` blocks (the reference's own
+reporting cadence, gpslib.py:1067-1069) so the device runs a whole
+second without host round-trips; stream gaps are applied at chunk
+boundaries and detected on-device (erase semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.models.navmsg import NavDecoder
+from gps_sdr_tpu.ops import cacode
+from gps_sdr_tpu.ops.acquisition import acquire_all
+from gps_sdr_tpu.ops.tracking import (ChannelOut, init_channel_states,
+                                      outs_to_numpy, reset_channel,
+                                      summarize_states, to_f32_pairs,
+                                      track_chunk)
+from gps_sdr_tpu.runtime.channelmgr import SlotTable, select_sats
+from gps_sdr_tpu.runtime.evaluator import EpochInput
+
+
+@dataclass
+class ReceiverStatus:
+    stream_no: int = 0
+    sweeps_served: int = 0
+    blocks_processed: int = 0
+    skipped_blocks: int = 0
+
+
+class Receiver:
+    def __init__(self, cfg: ReceiverConfig, device=None):
+        self.cfg = cfg
+        self.device = device
+        self._codes_tab = cacode.ca_table(cfg)
+        self._ffts_tab = cacode.ca_fft_table(cfg)
+        n = cfg.max_sat
+        self.states = init_channel_states(cfg, n)
+        self.slots = SlotTable(n)
+        self._codes = np.zeros((n, cfg.code_samples), np.float32)
+        self._ffts = np.zeros((n, cfg.code_samples), np.complex64)
+        self._codes_dev = jnp.asarray(self._codes)
+        self._ffts_dev = jnp.asarray(to_f32_pairs(self._ffts))
+        self.decoders = {}                 # slot -> NavDecoder
+        self.sweep_all = True              # cold start
+        self._stop = False
+        self.status = ReceiverStatus()
+        self.corr_quality: dict = {}       # prn -> (corr_q, corr_l)
+        self.found_sats: list = []
+
+    # -- control surface (replaces UDP command channel, gpsrecv.py:521-536)
+    def request_sweep(self) -> None:
+        self.sweep_all = True
+
+    def stop(self) -> None:
+        self._stop = True
+
+    # -- channel lifecycle --
+    def _activate(self, prn: int, freq: float, delay: int) -> None:
+        slot = self.slots.assign(prn)
+        self.states = reset_channel(self.states, slot, prn, freq, delay,
+                                    self.cfg)
+        self._codes[slot] = self._codes_tab[prn]
+        self._ffts[slot] = self._ffts_tab[prn]
+        self.decoders[slot] = NavDecoder(ngps=self.cfg.ngps)
+
+    def _deactivate(self, prn: int) -> None:
+        slot = self.slots.free(prn)
+        self.states = reset_channel(self.states, slot, 0, 0.0, 0, self.cfg,
+                                    active=False)
+        self._codes[slot] = 0
+        self._ffts[slot] = 0
+        self.decoders.pop(slot, None)
+
+    def _refresh_code_tables(self) -> None:
+        self._codes_dev = jnp.asarray(self._codes)
+        self._ffts_dev = jnp.asarray(to_f32_pairs(self._ffts))
+
+    def _serve_sweep_all(self, block: np.ndarray) -> None:
+        """Cold start / global re-sweep: one-shot full-grid acquisition and
+        channel-set update (replaces the staged sweepAllSats + pool
+        add/remove, gpsrecv.py:473-490)."""
+        self.found_sats = acquire_all(self.cfg, block, self._ffts_tab)
+        del_set, new_set = select_sats(self.slots.active, self.found_sats,
+                                       self.corr_quality, self.cfg.max_sat)
+        for prn in del_set:
+            self._deactivate(prn)
+        by_prn = {f[1]: f for f in self.found_sats}
+        for prn in new_set:
+            _, _, freq, delay = by_prn[prn]
+            self._activate(prn, freq, delay)
+        self._refresh_code_tables()
+        self.sweep_all = False
+
+    def _serve_channel_sweeps(self, block: np.ndarray,
+                              request_slots: list[int]) -> list[int]:
+        """Re-acquire individual channels whose 60 s correlation quality
+        collapsed (the per-channel sweep, gpslib.py:1362-1380, served
+        host-side as one batched grid search).  Returns served slots."""
+        prns = [self.slots.slot_prn[s] for s in request_slots]
+        found = acquire_all(self.cfg, block, self._ffts_tab, prns=prns)
+        by_prn = {f[1]: f for f in found}
+        summary = {k: np.asarray(v) for k, v in
+                   summarize_states(self.cfg, self.states).items()}
+        for slot, prn in zip(request_slots, prns):
+            old_freq = float(summary["freq"][slot])
+            old_delay = int(summary["delay"][slot])
+            if prn in by_prn:
+                _, _, freq, delay = by_prn[prn]
+            else:
+                freq, delay = old_freq, old_delay   # restore on failure
+            # setPhaseUnlocked + fresh correlation history
+            self.states = reset_channel(self.states, slot, prn, freq,
+                                        delay, self.cfg)
+            self.decoders[slot] = NavDecoder(ngps=self.cfg.ngps)
+            self.status.sweeps_served += 1
+        return request_slots
+
+    # -- main loop --
+    def run(self, block_iter, skip_iter=None):
+        """Consume NGPS-sample blocks; yield EpochInput once per chunk.
+
+        block_iter yields complex64[ngps]; skip_iter (optional) yields the
+        number of blocks dropped before each block (buffer overflow
+        accounting, gpsrecv.py:469-471).
+        """
+        cfg = self.cfg
+        t = cfg.no_sec
+        chunk: list[np.ndarray] = []
+        skipped_before_chunk = 0
+        swept_slots: list[int] = []
+
+        for item in block_iter:
+            if self._stop:
+                return
+            skip = next(skip_iter) if skip_iter is not None else 0
+            if skip:
+                # force a chunk boundary so the gap lands between chunks
+                if chunk:
+                    yield self._process_chunk(chunk, swept_slots,
+                                              skipped_before_chunk)
+                    chunk = []
+                skipped_before_chunk = skip
+                self.status.stream_no += skip
+                self.status.skipped_blocks += skip
+
+            if self.sweep_all:
+                self._serve_sweep_all(item)
+                self.status.stream_no += 1
+                self.status.blocks_processed += 1
+                continue
+
+            chunk.append(item)
+            if len(chunk) == t:
+                epoch, swept_slots = self._run_chunk(
+                    chunk, skipped_before_chunk)
+                skipped_before_chunk = 0
+                chunk = []
+                yield epoch
+        if chunk:
+            epoch, _ = self._run_chunk(chunk, skipped_before_chunk)
+            yield epoch
+
+    def _run_chunk(self, chunk: list[np.ndarray], skipped: int):
+        cfg = self.cfg
+        stream0 = self.status.stream_no + 1
+        stacked = np.stack(chunk) if isinstance(chunk[0], np.ndarray) \
+            else jnp.stack(chunk)
+        if isinstance(stacked, np.ndarray):
+            stacked = jnp.asarray(to_f32_pairs(stacked))
+        self.states, outs = track_chunk(cfg, self.states, stacked,
+                                        jnp.float32(stream0),
+                                        self._codes_dev, self._ffts_dev)
+        outs: ChannelOut = outs_to_numpy(outs)
+        nb = len(chunk)
+        self.status.stream_no += nb
+        self.status.blocks_processed += nb
+
+        # code phases + nav bits per slot
+        coph: dict = {}
+        for slot, prn in enumerate(self.slots.slot_prn):
+            if prn == 0:
+                continue
+            dec = self.decoders[slot]
+            for b in range(nb):
+                dec.push_block(outs.sign0[b, slot], outs.edge_ms[b, slot],
+                               outs.edge_local[b, slot],
+                               outs.edge_valid[b, slot],
+                               stream_no=stream0 + b,
+                               erased=bool(outs.erased[b, slot]))
+                cp = float(outs.code_phase[b, slot])
+                if cp >= 0:
+                    coph.setdefault(prn, []).append((stream0 + b, cp))
+            self.corr_quality[prn] = (float(outs.corr_q[-1, slot]),
+                                      float(outs.corr_l[-1, slot]))
+
+        # subframes + report values (reportValues, gpslib.py:1124-1131)
+        frames: list = []
+        for slot, prn in enumerate(self.slots.slot_prn):
+            if prn == 0:
+                continue
+            subs = (self.decoders[slot].poll_subframes()
+                    if bool(outs.locked[-1, slot]) else [])
+            if not subs:
+                subs = [{}]
+            for sf in subs:
+                sf["SAT"] = prn
+                sf["AMP"] = float(outs.amplitude[-1, slot])
+                sf["CRM"] = float(outs.norm_max[-1, slot])
+                sf["FRQ"] = float(outs.freq[-1, slot])
+                sf["SWP"] = False
+            frames += subs
+
+        # service per-channel sweep requests on the chunk's last block
+        req = [s for s in range(cfg.max_sat)
+               if outs.sweep_request[-1, s]
+               and self.slots.slot_prn[s] != 0]
+        swept = []
+        if req:
+            swept = self._serve_channel_sweeps(np.asarray(chunk[-1]), req)
+            for sf in frames:
+                if self.slots.slot_prn and sf.get("SAT") in \
+                        [self.slots.slot_prn[s] for s in swept]:
+                    sf["SWP"] = True
+
+        epoch = EpochInput(skipped_samples=skipped * cfg.ngps,
+                           frames=frames, code_phases=coph)
+        return epoch, swept
+
+    def _process_chunk(self, chunk, swept_slots, skipped):
+        epoch, _ = self._run_chunk(chunk, skipped)
+        return epoch

@@ -1,0 +1,99 @@
+"""Top-level receiver session: source -> receiver -> evaluator -> outputs.
+
+Replaces the reference launcher + two-process topology (src/gpssdr.py,
+the UDP pipeline between gpsrecv.py and gpseval.py): here the pipeline
+boundary is a function call handing EpochInput structs to the Evaluator
+(SURVEY.md P2 — the device->host epoch transfer is orders of magnitude
+smaller than the IQ stream).
+
+Also provides the record/replay fixture mechanism: epoch records can be
+saved and replayed into the evaluator without the DSP front half
+(the reference's SAVE_PICKLE / LOAD_PICKLE, SURVEY.md section 4.2).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.runtime.evaluator import EpochInput, Evaluator
+from gps_sdr_tpu.runtime.receiver import Receiver
+from gps_sdr_tpu.utils import io
+
+
+@dataclass
+class Session:
+    cfg: ReceiverConfig
+    ephem_cache_path: str | None = None
+    record_epochs_to: str | None = None
+    reporter: object | None = None
+
+    receiver: Receiver = None
+    evaluator: Evaluator = None
+    records: list = field(default_factory=list)
+    summaries: list = field(default_factory=list)
+
+    def __post_init__(self):
+        preloaded = {}
+        if self.ephem_cache_path:
+            preloaded = io.load_ephemerides(self.ephem_cache_path)
+        self.receiver = Receiver(self.cfg)
+        self.evaluator = Evaluator(self.cfg, preloaded_ephem=preloaded)
+
+    def run_source(self, block_iter, skip_iter=None,
+                   max_wall_sec: float | None = None) -> dict:
+        """Run the full pipeline over a block source; returns a summary."""
+        t0 = time.time()
+        n = 0
+        for epoch in self.receiver.run(block_iter, skip_iter=skip_iter):
+            self._consume(epoch)
+            n += 1
+            if max_wall_sec is not None and time.time() - t0 > max_wall_sec:
+                self.receiver.stop()
+        return self.final_summary()
+
+    def run_epoch_records(self, records: list) -> dict:
+        """Replay recorded epoch inputs through the evaluator only (the
+        reference's LOAD_PICKLE path, gpseval.py:516-524)."""
+        for rec in records:
+            self._consume(rec if isinstance(rec, EpochInput)
+                          else EpochInput(*rec))
+        return self.final_summary()
+
+    def _consume(self, epoch: EpochInput) -> None:
+        if self.record_epochs_to is not None:
+            self.records.append(
+                (epoch.skipped_samples, epoch.frames, epoch.code_phases))
+        summary = self.evaluator.process(epoch)
+        self.summaries.append(summary)
+        if self.reporter is not None:
+            self.reporter.update(epoch.frames, summary, self.evaluator)
+
+    def final_summary(self) -> dict:
+        ev = self.evaluator
+        out = {
+            "n_positions": len(ev.positions),
+            "stat": ev.stat,
+            "n_outliers": len(ev.outliers),
+            "n_fix_failures": len(ev.fix_failures),
+            "n_phase_errors": ev.n_phase_errors,
+            "skipped_blocks": ev.skipped_blocks,
+            "ephemerides": {sat: eng.ephem for sat, eng in
+                            ev.engines.items() if eng.ephem_ok},
+        }
+        return out
+
+    def save_outputs(self, prefix: str, save_track: bool = False) -> None:
+        ev = self.evaluator
+        io.save_results(prefix, sat_results=ev.sat_results,
+                        positions=ev.positions)
+        if self.ephem_cache_path:
+            io.save_ephemerides(self.ephem_cache_path,
+                                self.final_summary()["ephemerides"])
+        if self.record_epochs_to:
+            io.save_epoch_records(self.record_epochs_to, self.records)
+        if save_track and ev.positions:
+            from gps_sdr_tpu.utils.geodesy import ecef_to_geo
+            track = [ecef_to_geo(p[1:]) for p in ev.positions]
+            io.save_gpx_track(f"{prefix}_track.gpx", track)

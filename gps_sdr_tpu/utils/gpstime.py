@@ -1,0 +1,35 @@
+"""GPS time <-> UTC conversion (reference gpslib.py:1946-1963, 14-21)."""
+
+from __future__ import annotations
+
+import datetime
+
+from gps_sdr_tpu.config import LEAPSEC, ROLLOVER
+
+GPS_EPOCH = datetime.datetime(1980, 1, 6)
+
+
+def gps_datetime(tow: int, week_num: int) -> datetime.datetime:
+    """UTC datetime of the *current* subframe start.
+
+    `tow` counts the start of the NEXT subframe, so the current subframe
+    began at (tow-1)*6 s of week; leap seconds and the week-number
+    rollover era are applied (reference gpsTime, gpslib.py:1946-1955).
+    """
+    tow = int(tow)
+    week_num = int(week_num)
+    return (GPS_EPOCH
+            + datetime.timedelta(days=(week_num + ROLLOVER * 1024) * 7)
+            + datetime.timedelta(seconds=(tow - 1) * 6 - LEAPSEC))
+
+
+def gps_time_str(tow: int, week_num: int, time_only: bool = False) -> str:
+    d = gps_datetime(tow, week_num)
+    fmt = "%H:%M:%S UTC" if time_only else "%a, %d.%m.%Y %H:%M:%S UTC"
+    return d.strftime(fmt)
+
+
+def posix_from_gps_abs(gps_abs_sec: float) -> float:
+    """POSIX timestamp from seconds-since-GPS-epoch (UTC leap-corrected)."""
+    return (GPS_EPOCH - datetime.datetime(1970, 1, 1)).total_seconds() \
+        + gps_abs_sec - LEAPSEC
