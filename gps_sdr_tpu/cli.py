@@ -1,0 +1,282 @@
+"""Command-line launcher for the receiver.
+
+Replaces the reference's launcher + flag module (src/gpssdr.py,
+src/gpsglob.py run-mode constants LIVE_MEAS / BIN_DATA / LOAD_PICKLE /
+SAVE_PICKLE / SEND_OVER_UDP / LOAD_EPHEM / START_STREAM ...): every
+run-mode global becomes an explicit argument, and the two-process UDP
+topology becomes `--role recv` / `--role eval` (runtime/transport.py).
+
+Examples:
+    python -m gps_sdr_tpu replay capture.bin --ui headless --out run1
+    python -m gps_sdr_tpu synth --sec 40 --sats 6 --ui plot
+    python -m gps_sdr_tpu live --ui plot --ephem-cache eph.json
+    python -m gps_sdr_tpu epochs run1_epochs.pickle        # fixture replay
+    python -m gps_sdr_tpu replay capture.bin --role recv --udp-to 10.0.0.2
+    python -m gps_sdr_tpu eval --role eval --ui plot       # other machine
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from gps_sdr_tpu.config import ReceiverConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="gps_sdr_tpu",
+        description="TPU-native GPS L1 C/A software receiver")
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    def common(p):
+        p.add_argument("--n-cyc", type=int, default=32, choices=(8, 16, 32),
+                       help="code periods per block (32 -> 32 ms epochs)")
+        p.add_argument("--max-sat", type=int, default=11)
+        p.add_argument("--conf-height", type=float, default=None,
+                       metavar="METERS",
+                       help="constrain GPS height (enables 3-sat fixes)")
+        p.add_argument("--ui", choices=("headless", "plot", "none"),
+                       default="headless")
+        p.add_argument("--out", default=None,
+                       help="prefix for JSON result dumps")
+        p.add_argument("--save-track", action="store_true",
+                       help="write a GPX track next to --out")
+        p.add_argument("--save-map", action="store_true",
+                       help="write a standalone HTML map next to --out")
+        p.add_argument("--ephem-cache", default=None,
+                       help="JSON ephemeris cache (2 h warm start)")
+        p.add_argument("--record-epochs", default=None,
+                       help="record receiver->evaluator epochs (fixture)")
+        p.add_argument("--role", choices=("both", "recv", "eval"),
+                       default="both")
+        p.add_argument("--udp-to", default="127.0.0.1",
+                       help="evaluator host for --role recv")
+        p.add_argument("--max-sec", type=float, default=None,
+                       help="stop after this much stream time")
+
+    p = sub.add_parser("replay", help="replay a recorded IQ capture")
+    p.add_argument("path")
+    p.add_argument("--start-stream", type=int, default=0,
+                   help="skip this many blocks first (START_STREAM)")
+    common(p)
+
+    p = sub.add_parser("synth", help="run on a synthetic scenario")
+    p.add_argument("--sec", type=float, default=40.0)
+    p.add_argument("--sats", type=int, default=6)
+    p.add_argument("--noise", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=3)
+    common(p)
+
+    p = sub.add_parser("live", help="live RTL-SDR capture (needs pyrtlsdr)")
+    p.add_argument("--gain-db", type=float, default=50.0)
+    p.add_argument("--record-iq", default=None,
+                   help="also record the capture (gpsbin.py's role)")
+    common(p)
+
+    p = sub.add_parser("epochs", help="replay a recorded epoch fixture "
+                       "through the evaluator only (LOAD_PICKLE)")
+    p.add_argument("path")
+    common(p)
+
+    p = sub.add_parser("eval", help="evaluator half of the two-process "
+                       "topology (listens on UDP)")
+    common(p)
+    return ap
+
+
+def make_config(args) -> ReceiverConfig:
+    kw = dict(n_cyc=args.n_cyc, max_sat=args.max_sat)
+    if args.conf_height is not None:
+        kw.update(conf_height=True, height=args.conf_height)
+    return ReceiverConfig(**kw)
+
+
+def make_reporter(args):
+    if args.ui == "headless":
+        from gps_sdr_tpu.ui.headless import HeadlessReporter
+        return HeadlessReporter()
+    if args.ui == "plot":
+        from gps_sdr_tpu.ui.plot import PlotUI
+        return PlotUI()
+    return None
+
+
+def block_source(args, cfg):
+    if args.mode == "replay":
+        from gps_sdr_tpu.runtime.sources import replay_blocks
+        max_blocks = (None if args.max_sec is None
+                      else int(args.max_sec / cfg.block_sec))
+        return replay_blocks(args.path, cfg,
+                             start_stream=args.start_stream,
+                             max_blocks=max_blocks)
+    if args.mode == "synth":
+        from gps_sdr_tpu.models.scenario import (make_scenario,
+                                                 synth_scenario_blocks)
+        sec = args.sec if args.max_sec is None else min(args.sec,
+                                                        args.max_sec)
+        scn = make_scenario(cfg, n_sats=args.sats, seed=args.seed,
+                            duration_sec=sec + 12.0)
+        n_blocks = int(round(sec / cfg.block_sec))
+
+        def gen():
+            step = 4 * cfg.no_sec
+            for first in range(0, n_blocks, step):
+                n = min(step, n_blocks - first)
+                chunk = synth_scenario_blocks(scn, first, n,
+                                              noise_std=args.noise,
+                                              seed=args.seed)
+                yield from chunk
+        return gen()
+    if args.mode == "live":
+        from gps_sdr_tpu.runtime.sources import live_blocks
+        src = live_blocks(cfg, gain_db=args.gain_db)
+        if args.record_iq:
+            from gps_sdr_tpu.runtime.sources import pack_iq
+
+            def recording(src=src, path=args.record_iq):
+                with open(path, "wb") as f:
+                    for b in src:
+                        pack_iq(b).tofile(f)
+                        yield b
+            src = recording()
+        if args.max_sec is not None:
+            import itertools
+            src = itertools.islice(src, int(args.max_sec / cfg.block_sec))
+        return src
+    raise ValueError(args.mode)
+
+
+def run_recv_process(args, cfg) -> int:
+    """Receiver half: DSP on device, epochs out over UDP."""
+    from gps_sdr_tpu.runtime.receiver import Receiver
+    from gps_sdr_tpu.runtime.transport import EpochSender
+
+    recv = Receiver(cfg)
+    sender = EpochSender(host=args.udp_to)
+    n = 0
+    try:
+        for epoch in recv.run(block_source(args, cfg)):
+            sender.send(epoch)
+            n += 1
+            cmd = sender.poll_command()
+            if cmd == "SWEEP":
+                recv.request_sweep()
+            elif cmd == "STOP":
+                recv.stop()
+    finally:
+        sender.close()
+    print(f"receiver done: {n} epochs sent")
+    return 0
+
+
+def run_eval_process(args, cfg) -> int:
+    """Evaluator half: epochs in over UDP, fixes + UI out."""
+    from gps_sdr_tpu.runtime.evaluator import Evaluator
+    from gps_sdr_tpu.runtime.transport import EpochReceiver
+    from gps_sdr_tpu.utils import io
+
+    preloaded = (io.load_ephemerides(args.ephem_cache)
+                 if args.ephem_cache else {})
+    ev = Evaluator(cfg, preloaded_ephem=preloaded)
+    reporter = make_reporter(args)
+    rx = EpochReceiver()
+    t0 = time.time()
+    idle = 0.0
+    try:
+        while True:
+            epoch = rx.recv()
+            if epoch is None:
+                time.sleep(0.05)
+                idle += 0.05
+                if idle > 30.0 or (args.max_sec is not None
+                                   and time.time() - t0 > args.max_sec + 30):
+                    break
+                continue
+            idle = 0.0
+            summary = ev.process(epoch)
+            if reporter is not None:
+                reporter.update(epoch.frames, summary, ev)
+    except KeyboardInterrupt:
+        rx.request_stop()
+    finally:
+        rx.close()
+    _save_outputs(args, cfg, ev)
+    return 0
+
+
+def _save_outputs(args, cfg, ev) -> None:
+    from gps_sdr_tpu.utils import io
+
+    if args.out:
+        io.save_results(args.out, sat_results=ev.sat_results,
+                        positions=ev.positions)
+    if args.ephem_cache:
+        io.save_ephemerides(args.ephem_cache,
+                            {s: e.ephem for s, e in ev.engines.items()
+                             if e.ephem_ok})
+    if args.out and ev.positions:
+        from gps_sdr_tpu.utils.geodesy import ecef_to_geo
+        track = [ecef_to_geo(p[1:]) for p in ev.positions]
+        if args.save_track:
+            io.save_gpx_track(f"{args.out}_track.gpx", track)
+        if args.save_map and ev.stat is not None:
+            from gps_sdr_tpu.ui.webmap import save_map
+            save_map(f"{args.out}_map.html", ecef_to_geo(ev.stat[0]), track)
+
+
+def run_in_process(args, cfg) -> int:
+    """Default single-process topology via Session."""
+    from gps_sdr_tpu.runtime.session import Session
+
+    session = Session(cfg, ephem_cache_path=args.ephem_cache,
+                      record_epochs_to=args.record_epochs,
+                      reporter=make_reporter(args))
+    if args.mode == "epochs":
+        from gps_sdr_tpu.utils.io import load_epoch_records
+        summary = session.run_epoch_records(load_epoch_records(args.path))
+    else:
+        t0 = time.time()
+        summary = session.run_source(block_source(args, cfg))
+        wall = time.time() - t0
+        sec = session.evaluator and len(session.summaries) * cfg.no_sec \
+            * cfg.block_sec
+        print(f"processed {sec:.1f} s of stream in {wall:.1f} s "
+              f"({sec / max(wall, 1e-9):.1f}x realtime)")
+    if args.out or args.ephem_cache:
+        _save_outputs(args, cfg, session.evaluator)
+    if args.record_epochs:
+        from gps_sdr_tpu.utils.io import save_epoch_records
+        save_epoch_records(args.record_epochs, session.records)
+    stat = summary.get("stat")
+    print(f"fixes: {summary['n_positions']}  "
+          f"failures: {summary['n_fix_failures']}  "
+          f"outliers: {summary['n_outliers']}  "
+          f"phase errors: {summary['n_phase_errors']}  "
+          f"skipped blocks: {summary['skipped_blocks']}")
+    if stat is not None:
+        from gps_sdr_tpu.utils.geodesy import ecef_to_geo
+        mean, dev, n, _ = stat
+        lat, lon, alt = ecef_to_geo(mean)
+        print(f"mean position: {lat:.6f} deg, {lon:.6f} deg, {alt:.1f} m "
+              f"(n={n}, sd {np.linalg.norm(dev):.2f} m)")
+    else:
+        print("no position fix")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = make_config(args)
+    if args.mode == "eval" or args.role == "eval":
+        return run_eval_process(args, cfg)
+    if args.role == "recv":
+        return run_recv_process(args, cfg)
+    return run_in_process(args, cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

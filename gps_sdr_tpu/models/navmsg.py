@@ -199,16 +199,34 @@ def _solve_tail(d: np.ndarray, ds29: int, ds30: int) -> np.ndarray:
     return d
 
 
-def encode_subframe(sf_id: int, fields: dict, tow: int) -> np.ndarray:
+def encode_subframe(sf_id: int, fields: dict, tow: int,
+                    fill: str = "random") -> np.ndarray:
     """Build the 300 transmitted bits of one subframe.
 
     `fields` uses the same names/units as decode_subframe's output.
-    TLM message bits are zero; HOW and word 10 tails are solved for
-    zero D29/D30; each word's data bits are complemented with the
-    running DS30 before transmission.
+    HOW and word 10 tails are solved for zero D29/D30; each word's data
+    bits are complemented with the running DS30 before transmission.
+
+    Reserved / unspecified payload bits are filled with deterministic
+    pseudo-random data keyed by (sf_id, tow) — real broadcast subframes
+    carry TLM/reserved/almanac entropy, and the receiver's 20 ms bit
+    framing relies on transitions arriving every few bits: an all-zero
+    fill creates >100-bit constant runs that no GPS receiver (including
+    the reference, whose r>17 gap rounding assumes real signals,
+    gpslib.py:1475-1478) is designed to frame.  Pass fill="zeros" for
+    bit-layout unit tests.
     """
-    src = np.zeros((10, 24), dtype=np.int8)
+    if fill == "random":
+        rng = np.random.default_rng((0x675053, sf_id, tow))
+        src = rng.integers(0, 2, size=(10, 24)).astype(np.int8)
+    else:
+        src = np.zeros((10, 24), dtype=np.int8)
     src[0, :8] = PREAMBLE
+    # fields not specified by the caller decode as pseudo-random values;
+    # zero them for the defined tables so partial dicts stay faithful
+    for name, spans, _, _ in _COMMON + _SF_FIELDS[sf_id]:
+        for wi, lo, hi in spans:
+            src[wi, lo:hi] = 0
     values = dict(fields)
     values["tow"] = tow
     values["ID"] = sf_id

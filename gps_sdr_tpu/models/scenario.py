@@ -199,8 +199,13 @@ def synth_scenario_blocks(scn: Scenario, first_block: int, n_blocks: int,
         tau_sv = tau_sv_k[k_idx] * (1 - frac) + tau_sv_k[k_idx + 1] * frac
         # carrier: keep only the time-varying part of f*tau in the phase
         # (constant offset is an arbitrary carrier phase) to preserve
-        # float64 precision
-        dtau = tau - tau_k[0]
+        # float64 precision.  The reference MUST be chunk-independent —
+        # referencing the chunk's own first knot would put a carrier
+        # phase jump at every chunk boundary of a chunked synthesis
+        # (tau varies < 1.5e-4 s over a scenario, so f*dtau stays well
+        # within float64 mod-1 precision)
+        tau_ref = scn.sat_states(np.array([scn.t_rx0]), sat)[0][0]
+        dtau = tau - tau_ref
         phase = -2.0 * np.pi * np.mod(L1_FREQ * dtau, 1.0)
         # code chip + nav bit indexed by SV clock time
         ms = np.floor(tau_sv * 1000.0)

@@ -40,23 +40,53 @@ def _synth_block(cfg: ReceiverConfig, codes, nav_bits, amp, pos0, pos_rate,
     phase_rate: f32[S] carrier phase change per sample
     bit_base:   i32[S] code-period index at pos0's period, relative to the
                 first bit in nav_bits window times BIT_MS
+
+    TPU note: the naive formulation gathers code[i0 % cs] at every one
+    of the 65,536 samples; per-sample gathers are the slowest primitive
+    on the VPU and made synthesis 40x slower than the tracking kernel it
+    feeds.  Because the code position advances by pr ~= 1 sample/sample,
+    i0(k) = k + d(k) where the drift d(k) = floor(p0 + (pr-1)k) is
+    piecewise constant with AT MOST ONE integer step per block
+    (|pr-1| * ngps < 0.25).  So code lookup becomes two dynamic slices
+    of a tiled code table (one per drift level) + an elementwise select,
+    and the nav-bit lookup becomes the same trick on a per-period bit
+    vector.  Also keeps full f32 precision: drift stays < 2049 while
+    the naive pos = p0 + pr*k loses sub-sample resolution at k ~ 2^16.
     """
     cs = cfg.code_samples
     n = cfg.ngps
+    n_rep = n // cs + 3
     k = jnp.arange(n, dtype=jnp.float32)
 
     def one_sat(code, bits, a, p0, pr, ph0, phr, bb):
-        pos = p0 + pr * k                       # code position in samples
-        period = jnp.floor(pos / cs)            # code period within block
-        xpos = pos - period * cs
-        i0 = jnp.floor(xpos).astype(jnp.int32)
-        frac = xpos - i0
-        c0 = code[i0 % cs]
-        c1 = code[(i0 + 1) % cs]
+        drift = p0 + (pr - 1.0) * k             # i0(k) = k + floor(drift)
+        d = jnp.floor(drift)
+        frac = drift - d                        # sub-sample code phase
+        d0 = d[0].astype(jnp.int32)
+        step = (d[-1] - d[0]).astype(jnp.int32)  # -1, 0, or +1
+        on_d0 = (d == d[0])
+
+        tiled = jnp.tile(code, n_rep)           # [n + 3cs]
+        base = d0 % cs + cs                     # keep slice starts >= 0
+
+        def at(j):                              # code[(k + d0 + j) % cs]
+            return jax.lax.dynamic_slice(tiled, (base + j,), (n,))
+
+        c0 = jnp.where(on_d0, at(0), at(step))
+        c1 = jnp.where(on_d0, at(1), at(1 + step))
         cv = c0 * (1.0 - frac) + c1 * frac
-        bit_idx = (bb.astype(jnp.int32)
-                   + period.astype(jnp.int32)) // BIT_MS
-        bv = bits[jnp.clip(bit_idx, 0, MAX_BITS - 1)]
+
+        # nav bit per code period, then the same slice-select expansion
+        pp = jnp.arange(n_rep + 1, dtype=jnp.int32) - 1
+        bpp = bits[jnp.clip((bb.astype(jnp.int32) + pp) // BIT_MS,
+                            0, MAX_BITS - 1)]   # tiny gather [n_rep+1]
+        brep = jnp.repeat(bpp, cs)              # [(n_rep+1) * cs]
+
+        def bat(j):                             # bit of period(k) at drift j
+            return jax.lax.dynamic_slice(brep, (base + j,), (n,))
+
+        bv = jnp.where(on_d0, bat(0), bat(step))
+
         ang = ph0 + phr * k
         return a * bv * cv * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
 

@@ -44,9 +44,8 @@ class AcqResult(NamedTuple):
     code_phase: Array  # f32[P]; sub-sample peak fit
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def acquire(cfg: ReceiverConfig, block: Array, dopplers: Array,
-            code_ffts: Array) -> AcqResult:
+def acquire_impl(cfg: ReceiverConfig, block: Array, dopplers: Array,
+                 code_ffts: Array) -> AcqResult:
     """Full-grid acquisition on one block.
 
     block:     complex64[>= sweep_corr_avg * code_samples]
@@ -94,6 +93,9 @@ def acquire(cfg: ReceiverConfig, block: Array, dopplers: Array,
         norm_max=best_norm,
         code_phase=jnp.where(found, code_phase, -1.0),
     )
+
+
+acquire = functools.partial(jax.jit, static_argnums=(0,))(acquire_impl)
 
 
 def acquire_all(cfg: ReceiverConfig, block: np.ndarray,

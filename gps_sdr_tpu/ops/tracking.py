@@ -404,10 +404,9 @@ def channel_step(cfg: ReceiverConfig, state: ChannelState, block: Array,
     return new_state, out
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=(1,))
-def track_chunk(cfg: ReceiverConfig, states: ChannelState, blocks: Array,
-                stream_no0: Array, codes: Array,
-                code_ffts: Array) -> tuple[ChannelState, ChannelOut]:
+def track_chunk_impl(cfg: ReceiverConfig, states: ChannelState, blocks: Array,
+                     stream_no0: Array, codes: Array,
+                     code_ffts: Array) -> tuple[ChannelState, ChannelOut]:
     """Track all channels over a chunk of T consecutive blocks.
 
     blocks: complex64[T, ngps] or f32[T, ngps, 2] re/im pairs;
@@ -440,6 +439,10 @@ def track_chunk(cfg: ReceiverConfig, states: ChannelState, blocks: Array,
     states, outs = jax.lax.scan(body, states, (blocks, stream_nos))
     outs = jax.tree.map(lambda x: x.astype(jnp.float32), outs)
     return states, outs
+
+
+track_chunk = functools.partial(
+    jax.jit, static_argnums=0, donate_argnums=(1,))(track_chunk_impl)
 
 
 _OUT_DTYPES = {

@@ -45,3 +45,34 @@ class BlockBuffer:
     @property
     def skipped(self) -> int:
         return self._skipped
+
+
+def make_buffer(max_blocks: int = 16, block_samples: int | None = None):
+    """Best buffer available: the native lock-free SPSC ring
+    (csrc/ingest.cpp, GIL-free) when built and a block size is known,
+    else the Python deque."""
+    if block_samples is not None:
+        try:
+            from gps_sdr_tpu.runtime._native import NativeRing
+
+            ring = NativeRing(max_blocks, block_samples)
+
+            class _RingAdapter:
+                max_blocks_ = max_blocks
+
+                def push(self, block):
+                    ring.push(block)
+
+                def pull(self):
+                    out = ring.pop()
+                    if out is None:
+                        return None, 0
+                    return out
+
+                def __len__(self):
+                    return len(ring)
+
+            return _RingAdapter()
+        except Exception:
+            pass
+    return BlockBuffer(max_blocks)

@@ -27,12 +27,16 @@ except Exception:  # pragma: no cover - fallback path
 
 
 def unpack_iq(words: np.ndarray) -> np.ndarray:
-    """uint16 packed IQ -> normalized complex64."""
+    """uint16 packed IQ -> normalized complex64.
+
+    Per-component v/127.5 - 1 evaluated in double and rounded once to
+    f32 (identical to the native LUT in csrc/ingest.cpp; the reference
+    computes the same value in float64, gpsrecv.py:170-172)."""
     if _native_unpack is not None:
         return _native_unpack(words)
     im, re = np.divmod(words, 256)
-    return (np.asarray(re + 1j * im, dtype=np.complex64)
-            / np.float32(127.5) - np.complex64(1 + 1j))
+    return (np.float32(re / 127.5 - 1.0)
+            + 1j * np.float32(im / 127.5 - 1.0)).astype(np.complex64)
 
 
 def pack_iq(samples: np.ndarray) -> np.ndarray:
