@@ -44,11 +44,16 @@ class Session:
     def run_source(self, block_iter, skip_iter=None,
                    max_wall_sec: float | None = None) -> dict:
         """Run the full pipeline over a block source; returns a summary."""
+        from gps_sdr_tpu.utils.profiling import RateMeter
+
+        self.meter = RateMeter(self.cfg.sample_rate)
         t0 = time.time()
-        n = 0
+        done = 0
         for epoch in self.receiver.run(block_iter, skip_iter=skip_iter):
             self._consume(epoch)
-            n += 1
+            processed = self.receiver.status.blocks_processed
+            self.meter.add((processed - done) * self.cfg.ngps)
+            done = processed
             if max_wall_sec is not None and time.time() - t0 > max_wall_sec:
                 self.receiver.stop()
         return self.final_summary()
@@ -70,9 +75,12 @@ class Session:
         if self.reporter is not None:
             self.reporter.update(epoch.frames, summary, self.evaluator)
 
+    meter = None
+
     def final_summary(self) -> dict:
         ev = self.evaluator
         out = {
+            "throughput": self.meter.summary() if self.meter else None,
             "n_positions": len(ev.positions),
             "stat": ev.stat,
             "n_outliers": len(ev.outliers),

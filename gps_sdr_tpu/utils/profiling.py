@@ -1,0 +1,76 @@
+"""Profiling and throughput observability.
+
+The reference's only performance surface is a wall-clock print and a
+skipped-block counter in the GUI (SURVEY.md section 5: gpsrecv.py:554,
+gpsui.py:409-410).  Here throughput is first-class: a RateMeter tracks
+samples/s and the real-time factor over a sliding window, and `trace()`
+wraps jax.profiler for device timeline captures viewable in
+TensorBoard/Perfetto.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import deque
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RateMeter:
+    """Sliding-window samples/s + real-time-factor meter."""
+
+    sample_rate: float                 # stream samples per stream second
+    window_sec: float = 10.0
+    _events: deque = field(default_factory=deque)   # (wall_t, n_samples)
+    total_samples: int = 0
+    t0: float | None = None
+
+    def add(self, n_samples: int) -> None:
+        now = time.perf_counter()
+        if self.t0 is None:
+            self.t0 = now
+        self.total_samples += n_samples
+        self._events.append((now, n_samples))
+        cutoff = now - self.window_sec
+        while self._events and self._events[0][0] < cutoff:
+            self._events.popleft()
+
+    @property
+    def samples_per_sec(self) -> float:
+        if len(self._events) < 2:
+            return 0.0
+        span = self._events[-1][0] - self._events[0][0]
+        n = sum(e[1] for e in self._events) - self._events[0][1]
+        return n / span if span > 0 else 0.0
+
+    @property
+    def realtime_factor(self) -> float:
+        """Processing speed relative to the stream's own rate."""
+        return self.samples_per_sec / self.sample_rate
+
+    def summary(self) -> dict:
+        wall = (time.perf_counter() - self.t0) if self.t0 else 0.0
+        return {
+            "total_samples": self.total_samples,
+            "wall_sec": round(wall, 3),
+            "mean_rtf": round(
+                self.total_samples / self.sample_rate / wall, 2)
+            if wall > 0 else 0.0,
+            "window_rtf": round(self.realtime_factor, 2),
+            "window_msamples_per_sec": round(
+                self.samples_per_sec / 1e6, 2),
+        }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a device/host profile into `log_dir` (open with
+    TensorBoard's profile plugin or Perfetto)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
