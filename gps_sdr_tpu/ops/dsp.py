@@ -41,13 +41,30 @@ def doppler_mix(data: Array, freq: Array, phase: Array,
     Returns the mixed block and the carrier phase advanced to the end of
     the block, wrapped to [0, 2*pi) (reference demodDoppler,
     src/gpslib.py:1343-1346).
+
+    The oscillator is factorized: with ang = phase + s*(1..N) and
+    N = Q*R, exp(-i*ang) = exp(-i*phase) * exp(-i*s*R)^q * exp(-i*s*r)
+    computed as an outer product of a Q-point and an R-point table —
+    ~N/Q transcendental evaluations instead of N (the sin/cos of the
+    naive form dominates the mixing cost on the VPU; the angles of both
+    tables are evaluated directly, so there is no recurrence drift).
     """
     n = data.shape[-1]
-    t = (jnp.arange(1, n + 1, dtype=jnp.float32)) / jnp.float32(sample_rate)
-    ang = jnp.float32(phase) + jnp.float32(2.0 * jnp.pi) * jnp.float32(freq) * t
-    mixed = data * jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
-    new_phase = jnp.remainder(ang[-1], jnp.float32(2.0 * jnp.pi))
-    return mixed, new_phase
+    s = jnp.float32(2.0 * jnp.pi) * jnp.float32(freq) \
+        / jnp.float32(sample_rate)
+    new_phase = jnp.remainder(jnp.float32(phase) + s * n,
+                              jnp.float32(2.0 * jnp.pi))
+    r_len = 2048 if n % 2048 == 0 else n
+    q_len = n // r_len
+    # r-table covers ang(phase + s*(1..R)); q-table adds s*R*q
+    ang_r = jnp.float32(phase) + s * jnp.arange(1, r_len + 1,
+                                                dtype=jnp.float32)
+    ang_q = jnp.remainder(s * r_len, jnp.float32(2.0 * jnp.pi)) \
+        * jnp.arange(q_len, dtype=jnp.float32)
+    osc_r = jax.lax.complex(jnp.cos(ang_r), -jnp.sin(ang_r))
+    osc_q = jax.lax.complex(jnp.cos(ang_q), -jnp.sin(ang_q))
+    osc = (osc_q[:, None] * osc_r[None, :]).reshape(n)
+    return data * osc, new_phase
 
 
 def segment_fft_mean(data: Array, code_samples: int, first_seg: int,

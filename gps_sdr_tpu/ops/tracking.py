@@ -185,10 +185,26 @@ def _decode_means(mixed: Array, code: Array, delay: Array, carry_sum: Array,
     cs, n_cyc, ngps = cfg.code_samples, cfg.n_cyc, cfg.ngps
     rolled = dsp.roll_code(code, delay)
     prod = mixed * jnp.tile(rolled, n_cyc)
-    padded = jnp.concatenate([prod, jnp.zeros((cs,), prod.dtype)])
-    head = jnp.sum(jnp.where(jnp.arange(cs) < delay, prod[:cs], 0))
-    shifted = jax.lax.dynamic_slice(padded, (delay,), (ngps,))
-    seg_sums = jnp.sum(shifted.reshape(n_cyc, cs), axis=1)
+
+    # Segment sums over [delay + k*cs, delay + (k+1)*cs) WITHOUT shifting
+    # prod by a per-channel dynamic offset: under vmap a dynamic_slice
+    # lowers to a full-width gather (the slowest primitive on TPU).
+    # Instead compute chunked prefix sums and read the 33 boundary
+    # prefixes c[delay + k*cs]: seg_sum_k = c[b_{k+1}] - c[b_k].
+    inner = 128
+    n_sub = ngps // inner
+    rows = prod.reshape(n_sub, inner)
+    cps = jnp.concatenate([jnp.zeros((1,), prod.dtype),
+                           jnp.cumsum(jnp.sum(rows, axis=1))])
+    bpos = jnp.minimum(delay + cs * jnp.arange(n_cyc + 1, dtype=jnp.int32),
+                       ngps)                                  # [n_cyc+1]
+    bchunk = bpos // inner
+    rmask = (jnp.arange(inner)[None, :]
+             < (bpos % inner)[:, None]).astype(jnp.float32)
+    resid = jnp.sum(rows[jnp.minimum(bchunk, n_sub - 1)] * rmask, axis=1)
+    c_at = cps[bchunk] + resid                                # c[bpos]
+    head = c_at[0]                                            # c[delay]
+    seg_sums = jnp.diff(c_at)
 
     cnt0 = carry_cnt + delay
     mean0 = (carry_sum + head) / jnp.maximum(cnt0, 1).astype(jnp.float32)
