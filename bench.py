@@ -38,9 +38,10 @@ from gps_sdr_tpu.ops import cacode  # noqa: E402
 from gps_sdr_tpu.ops.acquisition import acquire  # noqa: E402
 from gps_sdr_tpu.ops.tracking import (init_channel_states,  # noqa: E402
                                       reset_channel, summarize_states,
-                                      to_f32_pairs, track_chunk)
+                                      to_f32_pairs, track_chunk_batched)
 
 N_CHANNELS = 12
+BLOCKS_PER_STEP = 8   # fused tracking step size (ops/tracking.py)
 
 
 def force_f32(x) -> float:
@@ -58,7 +59,8 @@ def fresh_states(cfg, sats):
 
 
 def main():
-    cfg = ReceiverConfig(max_sat=N_CHANNELS)
+    cfg = ReceiverConfig(max_sat=N_CHANNELS,
+                         blocks_per_step=BLOCKS_PER_STEP)
     t_small = 512
     t_large = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 
@@ -100,8 +102,8 @@ def main():
     def run_track(blocks, t):
         states = fresh_states(cfg, sats)
         t0 = time.perf_counter()
-        states, outs = track_chunk(cfg, states, blocks, jnp.float32(1),
-                                   codes, ffts)
+        states, outs = track_chunk_batched(cfg, states, blocks,
+                                           jnp.float32(1), codes, ffts)
         force_f32(outs.code_phase)
         return time.perf_counter() - t0, states, outs
 

@@ -87,6 +87,15 @@ class ReceiverConfig:
     sample_rate_factor: int = 1000  # sample_rate = 1000 * code_samples
     sdr_freq_corr_ppm: float = 0.0  # oscillator correction, ppm
 
+    # -- device scheduling --
+    blocks_per_step: int = 1        # tracking blocks fused per scan step
+                                    # (1 = per-block PLL exactly like the
+                                    # reference; >1 freezes the mixer NCO
+                                    # within a step and applies PLL phase
+                                    # corrections as rotations on the
+                                    # per-ms means -- amortizes per-step
+                                    # overhead, see ops/tracking.py)
+
     # -- derived --
     @property
     def sample_rate(self) -> float:

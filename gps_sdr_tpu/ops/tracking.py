@@ -171,26 +171,21 @@ def reset_channel(state: ChannelState, slot: int, prn: int, freq: float,
 # ---------------------------------------------------------------------------
 
 
-def _decode_means(mixed: Array, code: Array, delay: Array, carry_sum: Array,
-                  carry_cnt: Array, cfg: ReceiverConfig):
-    """Code wipeoff + per-ms coherent means with scalar tail carry.
+def _segment_sums(mixed: Array, code_fft: Array, delay: Array,
+                  cfg: ReceiverConfig):
+    """Head sum + per-segment sums for boundaries delay + k*cs.
 
-    Replaces decodeData's variable-length PREV_SAMPLES concatenation
-    (gpslib.py:1394-1446): segment boundaries sit at delay + k*2048, the
-    leading partial segment is completed from (carry_sum, carry_cnt), and
-    the trailing partial segment becomes the next carry.  Emits a fixed
-    n_cyc+1 slot layout: slot 0 = carry-completed mean (may be invalid),
-    slots 1..n_cyc = full segments (last one invalid unless delay == 0).
+    Computed WITHOUT shifting prod by a per-channel dynamic offset:
+    under vmap a dynamic_slice lowers to a full-width gather (the
+    slowest primitive on TPU).  Instead compute chunked prefix sums and
+    read the 33 boundary prefixes c[delay + k*cs]:
+    seg_sum_k = c[b_{k+1}] - c[b_k]; head = c[delay].  The rolled code
+    comes from the FFT-domain phase ramp (roll_code_fft) for the same
+    reason — the gather roll was the hottest op of the whole scan.
     """
     cs, n_cyc, ngps = cfg.code_samples, cfg.n_cyc, cfg.ngps
-    rolled = dsp.roll_code(code, delay)
+    rolled = dsp.roll_code_fft(code_fft, delay)
     prod = mixed * jnp.tile(rolled, n_cyc)
-
-    # Segment sums over [delay + k*cs, delay + (k+1)*cs) WITHOUT shifting
-    # prod by a per-channel dynamic offset: under vmap a dynamic_slice
-    # lowers to a full-width gather (the slowest primitive on TPU).
-    # Instead compute chunked prefix sums and read the 33 boundary
-    # prefixes c[delay + k*cs]: seg_sum_k = c[b_{k+1}] - c[b_k].
     inner = 128
     n_sub = ngps // inner
     rows = prod.reshape(n_sub, inner)
@@ -203,9 +198,33 @@ def _decode_means(mixed: Array, code: Array, delay: Array, carry_sum: Array,
              < (bpos % inner)[:, None]).astype(jnp.float32)
     resid = jnp.sum(rows[jnp.minimum(bchunk, n_sub - 1)] * rmask, axis=1)
     c_at = cps[bchunk] + resid                                # c[bpos]
-    head = c_at[0]                                            # c[delay]
-    seg_sums = jnp.diff(c_at)
+    return c_at[0], jnp.diff(c_at)
 
+
+def _decode_means(mixed: Array, code_fft: Array, delay: Array,
+                  carry_sum: Array, carry_cnt: Array, cfg: ReceiverConfig):
+    """Code wipeoff + per-ms coherent means with scalar tail carry.
+
+    Replaces decodeData's variable-length PREV_SAMPLES concatenation
+    (gpslib.py:1394-1446): segment boundaries sit at delay + k*2048, the
+    leading partial segment is completed from (carry_sum, carry_cnt), and
+    the trailing partial segment becomes the next carry.  Emits a fixed
+    n_cyc+1 slot layout: slot 0 = carry-completed mean (may be invalid),
+    slots 1..n_cyc = full segments (last one invalid unless delay == 0).
+    """
+    head, seg_sums = _segment_sums(mixed, code_fft, delay, cfg)
+    return _means_from_sums(head, seg_sums, delay, carry_sum, carry_cnt,
+                            cfg)
+
+
+def _means_from_sums(head: Array, seg_sums: Array, delay: Array,
+                     carry_sum: Array, carry_cnt: Array,
+                     cfg: ReceiverConfig):
+    """Assemble the fixed n_cyc+1 means layout from (head, seg_sums) —
+    the cheap, carry-dependent tail of _decode_means (separated so the
+    expensive sums can be batched over blocks while the carry chains
+    through a scalar scan, channel_step_k)."""
+    cs, n_cyc = cfg.code_samples, cfg.n_cyc
     cnt0 = carry_cnt + delay
     mean0 = (carry_sum + head) / jnp.maximum(cnt0, 1).astype(jnp.float32)
     v0 = cnt0 > 0
@@ -362,7 +381,7 @@ def channel_step(cfg: ReceiverConfig, state: ChannelState, block: Array,
 
     # 5. code wipeoff + per-ms means
     means, starts, mask, n_valid, carry_sum, carry_cnt = _decode_means(
-        mixed, code, new_delay, carry_sum, carry_cnt, cfg)
+        mixed, code_fft, new_delay, carry_sum, carry_cnt, cfg)
 
     # 6. bit-edge events (gate amplitude with the previous block's sigma,
     #    exactly as decodeData reads STD_DEV before process updates it)
@@ -459,6 +478,215 @@ def track_chunk_impl(cfg: ReceiverConfig, states: ChannelState, blocks: Array,
 
 track_chunk = functools.partial(
     jax.jit, static_argnums=0, donate_argnums=(1,))(track_chunk_impl)
+
+
+# ---------------------------------------------------------------------------
+# K-block fused tracking step.
+#
+# The per-block feedback loop caps the scan at one block per step; on an
+# accelerator the fixed per-step cost then dominates (measured ~70 us /
+# step on v5e — more than the step's own FLOPs at 12 channels).  The
+# fused step processes K blocks per scan iteration with a TPU-friendly
+# restructuring of the PLL feedback:
+#
+#   * the mixer NCO is FROZEN for the K blocks (one factorized
+#     oscillator over K*ngps samples, phase-continuous);
+#   * the expensive stages — mixing, correlation, code wipeoff segment
+#     sums — are batched over the K blocks (vmap, no feedback);
+#   * the per-block PLL phase correction, which in the sequential form
+#     re-phases the NCO before the next block, is instead applied as a
+#     scalar rotation e^{-i dphi} of the next block's per-ms MEANS
+#     (rotation commutes with the linear mean, so post-lock this is
+#     exactly the sequential correction);
+#   * frequency updates accumulate across the K blocks and are applied
+#     to the NCO at the step boundary.  Within a step the frozen NCO
+#     mistunes by at most the accumulated df (sub-Hz post-lock, bounded
+#     by the reference's own 20 Hz/s slew limit, gpslib.py:1226-1229);
+#     the residual ramp lands in the next phase offsets exactly like an
+#     oscillator drift would.
+#
+# Semantics match channel_step at K=1 and post-lock differ from the
+# sequential form only through the (sub-Hz) intra-step NCO mistuning.
+# ---------------------------------------------------------------------------
+
+
+def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
+                   blocks: Array, stream_no0: Array, code: Array,
+                   code_fft: Array) -> tuple[ChannelState, ChannelOut]:
+    """Track K consecutive blocks for one channel in one fused step.
+
+    blocks: complex64[k, ngps]; stream_no0: stream number of blocks[0].
+    Returns (new_state, outs with leading axis k).
+    """
+    # stream-skip detection for the step's first block (gaps are only
+    # introduced at chunk boundaries, runtime/receiver.py)
+    skipped = stream_no0 - 1 != state.prev_stream
+    erase = skipped & state.active
+    sign0_in = jnp.where(erase, jnp.int8(0), state.sign0)
+    prev_sign_in = jnp.where(erase, jnp.int8(0), state.prev_sign)
+    carry_sum_in = jnp.where(erase, jnp.complex64(0), state.carry_sum)
+    carry_cnt_in = jnp.where(erase, 0, state.carry_cnt)
+
+    # ---- batched heavy stages (frozen NCO) ----
+    flat = blocks.reshape(k * cfg.ngps)
+    mixed_flat, phase_end = dsp.doppler_mix(flat, state.freq, state.phase,
+                                            cfg.sample_rate)
+    mixed = mixed_flat.reshape(k, cfg.ngps)
+
+    first_seg = (cfg.n_cyc - cfg.corr_avg) // 2
+
+    def corr_one(m):
+        fm = dsp.segment_fft_mean(m, cfg.code_samples, first_seg,
+                                  cfg.corr_avg)
+        corr = dsp.circ_correlate(fm, code_fft)
+        return dsp.peak_metrics(corr, cfg.corr_min)
+
+    delay_k, code_phase_k, norm_max_k = jax.vmap(corr_one)(mixed)
+
+    # resolved delay per block (misses keep the previous block's delay)
+    def res_delay(prev, d):
+        nd = jnp.where(d >= 0, d, prev)
+        return nd, nd
+
+    _, new_delay_k = jax.lax.scan(res_delay, state.delay, delay_k)
+
+    head_k, seg_sums_k = jax.vmap(
+        lambda m, d: _segment_sums(m, code_fft, d, cfg))(mixed, new_delay_k)
+
+    # ---- cheap per-block feedback (means -> edges -> PLL), scanned ----
+    def body(carry, x):
+        (dphi, carry_sum, carry_cnt, sign0, prev_sign, prev_signal,
+         ms_time, std_dev, locked, df_sum, df_buf, df_cnt, df_idx,
+         corr_buf, corr_cnt, corr_idx) = carry
+        head, seg_sums, delay, found = x
+
+        means, starts, mask, n_valid, carry_sum, carry_cnt = \
+            _means_from_sums(head, seg_sums, delay, carry_sum, carry_cnt,
+                             cfg)
+        rot = jax.lax.complex(jnp.cos(dphi), -jnp.sin(dphi))
+        means = means * rot
+
+        corr_buf, corr_cnt, corr_idx, corr_q, corr_l = _corr_quality(
+            found, corr_buf, corr_cnt, corr_idx, cfg)
+
+        min_edge_amp = jnp.float32(cfg.edge_sigma) * std_dev
+        sign0, prev_sign, prev_signal, ms_time, ems, est, evalid = \
+            _edge_scan(means, starts, mask, locked, min_edge_amp, sign0,
+                       prev_sign, prev_signal, ms_time)
+
+        mag = jnp.abs(means)
+        fmask = mask.astype(jnp.float32)
+        nv = jnp.maximum(n_valid, 1).astype(jnp.float32)
+        amp_mean = jnp.sum(mag * fmask) / nv
+        std_dev = jnp.sqrt(jnp.maximum(
+            jnp.sum(mag * mag * fmask) / nv - amp_mean * amp_mean, 1e-12))
+        amplitude = amp_mean / std_dev
+
+        df, phase_offset, locked, df_buf, df_cnt, df_idx = _pll(
+            means, mask, n_valid, locked, df_buf, df_cnt, df_idx, cfg)
+        dphi = dphi + phase_offset
+        df_sum = df_sum + df
+
+        carry = (dphi, carry_sum, carry_cnt, sign0, prev_sign, prev_signal,
+                 ms_time, std_dev, locked, df_sum, df_buf, df_cnt, df_idx,
+                 corr_buf, corr_cnt, corr_idx)
+        return carry, (delay, amplitude, corr_q, corr_l, locked, sign0,
+                       ems, est, evalid)
+
+    carry0 = (jnp.float32(0), carry_sum_in, carry_cnt_in, sign0_in,
+              prev_sign_in, state.prev_signal, state.ms_time,
+              state.std_dev, state.locked, jnp.float32(0), state.df_buf,
+              state.df_cnt, state.df_idx, state.corr_buf, state.corr_cnt,
+              state.corr_idx)
+    carry, outs = jax.lax.scan(
+        body, carry0, (head_k, seg_sums_k, new_delay_k, delay_k >= 0))
+    (dphi, carry_sum, carry_cnt, sign0, prev_sign, prev_signal, ms_time,
+     std_dev, locked, df_sum, df_buf, df_cnt, df_idx, corr_buf, corr_cnt,
+     corr_idx) = carry
+    (delay_seq, amp_seq, corr_q_seq, corr_l_seq, locked_seq, sign0_seq,
+     ems, est, evalid) = outs
+
+    new_freq = jnp.clip(state.freq + df_sum, cfg.min_freq, cfg.max_freq)
+    new_phase = jnp.remainder(phase_end + dphi, jnp.float32(2 * np.pi))
+    sweep_request = ((corr_cnt >= cfg.corr_hist_len)
+                     & (corr_q_seq[-1] < cfg.min_corr_q) & state.active)
+
+    computed = ChannelState(
+        prn=state.prn, active=state.active, freq=new_freq, phase=new_phase,
+        delay=new_delay_k[-1], locked=locked, ms_time=ms_time,
+        std_dev=std_dev, prev_stream=stream_no0 + k - 1,
+        prev_signal=prev_signal, sign0=sign0, prev_sign=prev_sign,
+        carry_sum=carry_sum, carry_cnt=carry_cnt, df_buf=df_buf,
+        df_cnt=df_cnt, df_idx=df_idx, corr_buf=corr_buf,
+        corr_cnt=corr_cnt, corr_idx=corr_idx)
+    new_state = jax.tree.map(
+        lambda c, s: jnp.where(state.active, c, s),
+        computed, state._replace(prev_stream=stream_no0 + k - 1))
+
+    act = state.active
+    ksl = (k,)
+    out = ChannelOut(
+        code_phase=jnp.where(act, code_phase_k, -1.0),
+        delay=jnp.where(act, new_delay_k, 0),
+        norm_max=jnp.where(act, norm_max_k, 0.0),
+        amplitude=jnp.where(act, amp_seq, 0.0),
+        corr_q=jnp.where(act, corr_q_seq, 0.0),
+        corr_l=jnp.where(act, corr_l_seq, 0.0),
+        freq=jnp.where(act, jnp.broadcast_to(new_freq, ksl), 0.0),
+        locked=act & locked_seq,
+        erased=jnp.concatenate([erase[None],
+                                jnp.zeros((k - 1,), bool)]) if k > 1
+        else erase[None],
+        sweep_request=jnp.broadcast_to(sweep_request, ksl) &
+        (jnp.arange(k) == k - 1),
+        sign0=jnp.where(act, sign0_seq, jnp.int8(0)),
+        edge_ms=ems, edge_local=est, edge_valid=evalid & act)
+    return new_state, out
+
+
+def track_chunk_batched_impl(cfg: ReceiverConfig, states: ChannelState,
+                             blocks: Array, stream_no0: Array, codes: Array,
+                             code_ffts: Array
+                             ) -> tuple[ChannelState, ChannelOut]:
+    """track_chunk with cfg.blocks_per_step blocks fused per scan step.
+
+    Same contract as track_chunk_impl; T must be divisible by
+    cfg.blocks_per_step.  Outputs come back in stream order [T, C, ...].
+    """
+    k = cfg.blocks_per_step
+    if k <= 1:
+        return track_chunk_impl(cfg, states, blocks, stream_no0, codes,
+                                code_ffts)
+    blocks = as_complex(blocks)
+    code_ffts = as_complex(code_ffts)
+    stream0 = jnp.asarray(stream_no0).astype(jnp.int32)
+    t = blocks.shape[0]
+    if t % k:
+        raise ValueError(f"T={t} not divisible by blocks_per_step={k}")
+    grouped = blocks.reshape(t // k, k, blocks.shape[-1])
+
+    step = jax.vmap(
+        functools.partial(channel_step_k, cfg, k),
+        in_axes=(0, None, None, 0, 0), out_axes=0)
+
+    def body(carry, x):
+        blk_k, sno = x
+        new_states, out = step(carry, blk_k, sno, codes, code_ffts)
+        return new_states, out
+
+    stream_nos = stream0 + k * jnp.arange(t // k, dtype=jnp.int32)
+    states, outs = jax.lax.scan(body, states, (grouped, stream_nos))
+    # [T//k, C, k, ...] -> [T, C, ...]
+    def flat(x):
+        x = jnp.moveaxis(x, 2, 1)       # [T//k, k, C, ...]
+        return x.reshape((t,) + x.shape[2:]).astype(jnp.float32)
+
+    outs = jax.tree.map(flat, outs)
+    return states, outs
+
+
+track_chunk_batched = functools.partial(
+    jax.jit, static_argnums=0, donate_argnums=(1,))(track_chunk_batched_impl)
 
 
 _OUT_DTYPES = {

@@ -35,7 +35,7 @@ from gps_sdr_tpu.ops.acquisition import acquire_all
 from gps_sdr_tpu.ops.tracking import (ChannelOut, init_channel_states,
                                       outs_to_numpy, reset_channel,
                                       summarize_states, to_f32_pairs,
-                                      track_chunk)
+                                      track_chunk, track_chunk_batched)
 from gps_sdr_tpu.runtime.channelmgr import SlotTable, select_sats
 from gps_sdr_tpu.runtime.evaluator import EpochInput
 
@@ -188,9 +188,11 @@ class Receiver:
             else jnp.stack(chunk)
         if isinstance(stacked, np.ndarray):
             stacked = jnp.asarray(to_f32_pairs(stacked))
-        self.states, outs = track_chunk(cfg, self.states, stacked,
-                                        jnp.float32(stream0),
-                                        self._codes_dev, self._ffts_dev)
+        track = (track_chunk_batched if cfg.blocks_per_step > 1
+                 and len(chunk) % cfg.blocks_per_step == 0 else track_chunk)
+        self.states, outs = track(cfg, self.states, stacked,
+                                  jnp.float32(stream0),
+                                  self._codes_dev, self._ffts_dev)
         outs: ChannelOut = outs_to_numpy(outs)
         nb = len(chunk)
         self.status.stream_no += nb

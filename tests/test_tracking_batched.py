@@ -1,0 +1,108 @@
+"""K-block fused tracking step vs the sequential per-block step.
+
+The fused step freezes the mixer NCO within a step and applies PLL
+phase corrections as rotations on the per-ms means (ops/tracking.py,
+channel_step_k).  Post-lock it must track the same signal with the same
+code phases, frequency, and decoded bit edges as the sequential form;
+intra-step NCO mistuning is bounded by the slew limit and must not
+change decoded bits."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.models.navmsg import NavDecoder
+from gps_sdr_tpu.models.simulator import SatSignal, random_bits, synth_stream
+from gps_sdr_tpu.ops import cacode
+from gps_sdr_tpu.ops.tracking import (init_channel_states, outs_to_numpy,
+                                      reset_channel, track_chunk,
+                                      track_chunk_batched)
+
+CFG = ReceiverConfig()
+SATS = [
+    SatSignal(prn=5, doppler=1234.0, code_delay=300.25,
+              nav_bits=random_bits(128, seed=5)),
+    SatSignal(prn=21, doppler=-3100.0, code_delay=777.0,
+              nav_bits=random_bits(128, seed=21)),
+]
+
+
+@pytest.fixture(scope="module")
+def stream():
+    from tests.conftest import cached_synth
+    return cached_synth(
+        "batched_track_v1",
+        lambda: synth_stream(CFG, SATS, 96, noise_std=0.4, seed=11))
+
+
+def _states():
+    states = init_channel_states(CFG, 2)
+    codes = np.zeros((2, CFG.code_samples), np.float32)
+    ffts = np.zeros((2, CFG.code_samples), np.complex64)
+    for i, s in enumerate(SATS):
+        states = reset_channel(states, i, s.prn, s.doppler,
+                               int(s.code_delay), CFG)
+        codes[i] = cacode.ca_table(CFG)[s.prn]
+        ffts[i] = cacode.ca_fft_table(CFG)[s.prn]
+    return states, jnp.asarray(codes), jnp.asarray(ffts)
+
+
+def _decode_bits(outs, n_blocks):
+    o = outs_to_numpy(outs)
+    bits = []
+    for c in range(2):
+        dec = NavDecoder(ngps=CFG.ngps)
+        got = []
+        for b in range(n_blocks):
+            dec.push_block(o.sign0[b, c], o.edge_ms[b, c],
+                           o.edge_local[b, c], o.edge_valid[b, c],
+                           stream_no=1 + b, erased=bool(o.erased[b, c]))
+        nb, _ = dec._frame_bits()
+        got.append(nb)
+        bits.append(np.concatenate(got))
+    return bits, o
+
+
+def test_k1_equals_sequential(stream):
+    blocks = jnp.asarray(stream[:32])
+    st, codes, ffts = _states()
+    ref_st, ref = track_chunk(CFG, st, blocks, jnp.int32(1), codes, ffts)
+    cfg1 = CFG.replace(blocks_per_step=1)
+    st, _, _ = _states()[0], None, None
+    st2, codes, ffts = _states()
+    got_st, got = track_chunk_batched(cfg1, st2, blocks, jnp.int32(1),
+                                      codes, ffts)
+    np.testing.assert_allclose(np.asarray(ref.code_phase),
+                               np.asarray(got.code_phase))
+    np.testing.assert_allclose(np.asarray(ref.freq), np.asarray(got.freq))
+
+
+@pytest.mark.parametrize("k", [4, 8])
+def test_batched_tracks_like_sequential(stream, k):
+    blocks = jnp.asarray(stream)
+    n = stream.shape[0]
+    st, codes, ffts = _states()
+    ref_st, ref = track_chunk(CFG, st, blocks, jnp.int32(1), codes, ffts)
+    cfgk = CFG.replace(blocks_per_step=k)
+    st2, codes, ffts = _states()
+    got_st, got = track_chunk_batched(cfgk, st2, blocks, jnp.int32(1),
+                                      codes, ffts)
+
+    ref_bits, ro = _decode_bits(ref, n)
+    got_bits, go = _decode_bits(got, n)
+    for c in range(2):
+        # both lock and settle on the true Doppler
+        assert go.locked[-1, c] and ro.locked[-1, c]
+        assert abs(go.freq[-1, c] - SATS[c].doppler) < 3.0
+        # identical code phases wherever both found the peak
+        both = (ro.code_phase[:, c] >= 0) & (go.code_phase[:, c] >= 0)
+        assert both.mean() > 0.9
+        np.testing.assert_allclose(ro.code_phase[both, c],
+                                   go.code_phase[both, c], atol=0.2)
+        # identical decoded bit streams post-lock (allow edge-of-stream
+        # length differences)
+        a, b = ref_bits[c], got_bits[c]
+        m = min(len(a), len(b))
+        assert m > 100
+        assert (a[:m] == b[:m]).mean() > 0.99
