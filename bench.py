@@ -132,6 +132,83 @@ def main():
     rtf_raw = sig_large / w_large
     rtf_amortized = (sig_large - sig_small) / max(w_large - w_small, 1e-9)
 
+    # --- stress configurations (BASELINE.md): wide grid, 32 channels,
+    #     16 MS/s front end.  Best-effort extras; never fail the bench.
+    stress = {}
+    try:
+        wide = cfg.replace(min_freq=-10000.0, max_freq=10000.0)
+        dw = jnp.asarray(wide.doppler_bins, dtype=np.float32)
+        res_w = acquire(wide, blk1[0], dw, all_ffts)
+        force_f32(res_w.norm_max)
+        t0 = time.perf_counter()
+        res_w = acquire(wide, blk1[0], dw, all_ffts)
+        force_f32(res_w.norm_max)
+        stress["acq_31prn_pm10khz_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
+    except Exception as e:
+        stress["acq_31prn_pm10khz_ms"] = f"failed: {type(e).__name__}"
+    try:
+        n32 = 32
+        cfg32 = cfg.replace(max_sat=n32)
+        prns32 = np.resize(np.arange(2, 33), n32)
+        sats32 = [SatSignal(prn=int(p), doppler=float(rng.uniform(-4500,
+                                                                  4500)),
+                            code_delay=float(rng.uniform(0, 2048)),
+                            nav_bits=random_bits(4096, seed=100 + i))
+                  for i, p in enumerate(prns32)]
+        synth32 = JaxSynth(cfg32, sats32, noise_std=0.7, seed=2)
+        blk32 = synth32.chunk(0, t_small)
+        force_f32(blk32)
+        codes32 = jnp.asarray(np.stack([tab[s.prn] for s in sats32]))
+        ffts32 = jnp.asarray(to_f32_pairs(
+            np.stack([ftab[s.prn] for s in sats32])))
+        st32 = init_channel_states(cfg32, n32)
+        for i, s in enumerate(sats32):
+            st32 = reset_channel(st32, i, s.prn, s.doppler,
+                                 int(s.code_delay) % 2048, cfg32)
+        st32b, o32 = track_chunk_batched(cfg32, st32, blk32,
+                                         jnp.float32(1), codes32, ffts32)
+        force_f32(o32.code_phase)
+        st32 = init_channel_states(cfg32, n32)
+        for i, s in enumerate(sats32):
+            st32 = reset_channel(st32, i, s.prn, s.doppler,
+                                 int(s.code_delay) % 2048, cfg32)
+        t0 = time.perf_counter()
+        st32b, o32 = track_chunk_batched(cfg32, st32, blk32,
+                                         jnp.float32(1), codes32, ffts32)
+        force_f32(o32.code_phase)
+        w32 = time.perf_counter() - t0
+        s32 = {k: np.asarray(v)
+               for k, v in summarize_states(cfg32, st32b).items()}
+        stress["track_32ch_rtf"] = round(sig_small / w32, 1)
+        stress["track_32ch_locked"] = int((s32["locked"] > 0.5).sum())
+    except Exception as e:
+        stress["track_32ch_rtf"] = f"failed: {type(e).__name__}"
+    try:
+        cfg16 = ReceiverConfig(code_samples=16384, n_cyc=8, corr_avg=4,
+                               sweep_corr_avg=2)
+        sats16 = [SatSignal(prn=int(p),
+                            doppler=float(rng.uniform(-4500, 4500)),
+                            code_delay=float(rng.uniform(0, 16384)))
+                  for p in (4, 9, 27)]
+        s16 = JaxSynth(cfg16, sats16, noise_std=0.3, seed=3)
+        b16 = s16.chunk(0, 1)
+        force_f32(b16)
+        ftab16 = cacode.ca_fft_table(cfg16)
+        ffts16 = jnp.asarray(to_f32_pairs(
+            ftab16[np.asarray(cfg16.prns)]))
+        d16 = jnp.asarray(cfg16.doppler_bins, dtype=np.float32)
+        r16 = acquire(cfg16, b16[0], d16, ffts16)
+        force_f32(r16.norm_max)
+        t0 = time.perf_counter()
+        r16 = acquire(cfg16, b16[0], d16, ffts16)
+        force_f32(r16.norm_max)
+        stress["acq_16msps_full_grid_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
+        stress["acq_16msps_found"] = int(np.asarray(r16.found).sum())
+    except Exception as e:
+        stress["acq_16msps_full_grid_ms"] = f"failed: {type(e).__name__}"
+
     summary = {k: np.asarray(v)
                for k, v in summarize_states(cfg, st2).items()}
     locked = int((summary["locked"] > 0.5).sum())
@@ -156,6 +233,7 @@ def main():
             "code_phase_found_frac": round(cp_found, 4),
             "signal_sec_large_run": round(sig_large, 1),
             "backend": jax.default_backend(),
+            **stress,
         },
     }
     print(json.dumps(result))

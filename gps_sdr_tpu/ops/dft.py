@@ -32,19 +32,64 @@ def _dft_matrix(n: int) -> np.ndarray:
     return np.exp(-2j * np.pi * j * k / n).astype(np.complex64)
 
 
+FORCE_MATMUL = False    # tests: exercise the MXU path on the CPU backend
+MAX_DIRECT = 2048       # largest single-matmul DFT; above this the
+                        # four-step Cooley-Tukey factorization is used
+                        # (an n x n matrix at n=16384 would be 2 GB)
+
+
 def _use_matmul() -> bool:
     # trace-time decision: tests force the cpu backend (pocketfft wins
     # there); any accelerator gets the MXU path
-    return jax.default_backend() != "cpu"
+    return FORCE_MATMUL or jax.default_backend() != "cpu"
+
+
+def _factor2(n: int) -> tuple[int, int]:
+    a = int(np.sqrt(n))
+    while n % a:
+        a -= 1
+    return a, n // a
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddles(a: int, b: int) -> np.ndarray:
+    j1, k2 = np.meshgrid(np.arange(a), np.arange(b), indexing="ij")
+    return np.exp(-2j * np.pi * j1 * k2 / (a * b)).astype(np.complex64)
+
+
+def _dft_matmul(x: Array) -> Array:
+    """DFT along the last axis as MXU matmuls.
+
+    n <= MAX_DIRECT: one [n, n] matmul.  Larger n: four-step
+    Cooley-Tukey with n = a*b — b-point DFTs, twiddles, a-point DFTs —
+    so a 16384-point transform runs as two 128-wide matmul stages
+    instead of one infeasible 16384^2 matrix.
+    """
+    n = x.shape[-1]
+    if n <= MAX_DIRECT:
+        w = jnp.asarray(_dft_matrix(n))
+        return jnp.matmul(x, w, preferred_element_type=jnp.complex64)
+    a, b = _factor2(n)
+    lead = x.shape[:-1]
+    # j = j2*a + j1  ->  view [.., j2, j1] = [.., b, a]
+    xm = x.reshape(lead + (b, a))
+    wb = jnp.asarray(_dft_matrix(b))
+    # DFT over j2 (axis -2): Y[k2, j1]
+    y = jnp.einsum("...ja,jk->...ka", xm, wb,
+                   preferred_element_type=jnp.complex64)
+    tw = jnp.asarray(_twiddles(a, b))          # [a, b] indexed [j1, k2]
+    y = y * jnp.swapaxes(tw, 0, 1)             # [.., k2, j1]
+    wa = jnp.asarray(_dft_matrix(a))
+    # DFT over j1 (axis -1): X[k2, k1]; final index k = k1*b + k2
+    z = jnp.matmul(y, wa, preferred_element_type=jnp.complex64)
+    return jnp.swapaxes(z, -1, -2).reshape(lead + (n,))
 
 
 def dft(x: Array) -> Array:
     """DFT along the last axis (complex64 in/out)."""
-    n = x.shape[-1]
     if not _use_matmul():
         return jnp.fft.fft(x, axis=-1).astype(jnp.complex64)
-    w = jnp.asarray(_dft_matrix(n))
-    return jnp.matmul(x, w, preferred_element_type=jnp.complex64)
+    return _dft_matmul(x)
 
 
 def idft(x: Array) -> Array:
@@ -52,7 +97,4 @@ def idft(x: Array) -> Array:
     n = x.shape[-1]
     if not _use_matmul():
         return jnp.fft.ifft(x, axis=-1).astype(jnp.complex64)
-    w = jnp.asarray(_dft_matrix(n))
-    return jnp.conj(jnp.matmul(jnp.conj(x), w,
-                               preferred_element_type=jnp.complex64)) \
-        * jnp.complex64(1.0 / n)
+    return jnp.conj(_dft_matmul(jnp.conj(x))) * jnp.complex64(1.0 / n)
