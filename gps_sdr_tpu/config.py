@@ -88,6 +88,8 @@ class ReceiverConfig:
     sdr_freq_corr_ppm: float = 0.0  # oscillator correction, ppm
 
     # -- device scheduling --
+    use_pallas_kernels: bool = False  # Pallas mix+wipeoff kernel in the
+                                      # K-block heavy stage (TPU only)
     blocks_per_step: int = 1        # tracking blocks fused per scan step
                                     # (1 = per-block PLL exactly like the
                                     # reference; >1 freezes the mixer NCO

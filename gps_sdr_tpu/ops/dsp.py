@@ -77,7 +77,10 @@ def segment_fft_mean(data: Array, code_samples: int, first_seg: int,
     """
     segs = data[first_seg * code_samples:(first_seg + n_avg) * code_samples]
     segs = segs.reshape(n_avg, code_samples)
-    return jnp.mean(dft(segs), axis=0)
+    # DFT is linear: mean of the segment DFTs == DFT of the mean
+    # segment — one transform instead of n_avg (the reference averages
+    # in the frequency domain, gpslib.py:1315-1323; identical result)
+    return dft(jnp.mean(segs, axis=0))
 
 
 def circ_correlate(fft_data: Array, code_fft: Array) -> Array:

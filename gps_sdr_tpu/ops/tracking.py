@@ -171,34 +171,34 @@ def reset_channel(state: ChannelState, slot: int, prn: int, freq: float,
 # ---------------------------------------------------------------------------
 
 
+def _segment_sums_rolled(mixed: Array, rolled: Array, delay: Array,
+                         cfg: ReceiverConfig):
+    """Head sum + per-segment sums for boundaries delay + k*cs, given
+    the already-rolled code.
+
+    Gather-free: segment k spans the tail of code-period row k plus the
+    head of row k+1, so two masked row reductions give every boundary
+    sum (no dynamic slicing — under vmap a dynamic_slice lowers to a
+    full-width gather, the slowest primitive on TPU).
+    """
+    cs, n_cyc = cfg.code_samples, cfg.n_cyc
+    rows = (mixed.reshape(n_cyc, cs)
+            * jnp.broadcast_to(rolled, (n_cyc, cs)))
+    in_head = (jnp.arange(cs) < delay).astype(jnp.float32)[None, :]
+    lo = jnp.sum(rows * in_head, axis=1)          # cols <  delay
+    hi = jnp.sum(rows, axis=1) - lo               # cols >= delay
+    head = lo[0]
+    seg_sums = hi + jnp.concatenate([lo[1:], jnp.zeros((1,), lo.dtype)])
+    return head, seg_sums
+
+
 def _segment_sums(mixed: Array, code_fft: Array, delay: Array,
                   cfg: ReceiverConfig):
-    """Head sum + per-segment sums for boundaries delay + k*cs.
-
-    Computed WITHOUT shifting prod by a per-channel dynamic offset:
-    under vmap a dynamic_slice lowers to a full-width gather (the
-    slowest primitive on TPU).  Instead compute chunked prefix sums and
-    read the 33 boundary prefixes c[delay + k*cs]:
-    seg_sum_k = c[b_{k+1}] - c[b_k]; head = c[delay].  The rolled code
-    comes from the FFT-domain phase ramp (roll_code_fft) for the same
-    reason — the gather roll was the hottest op of the whole scan.
-    """
-    cs, n_cyc, ngps = cfg.code_samples, cfg.n_cyc, cfg.ngps
+    """_segment_sums_rolled with the roll computed from the code's DFT
+    (FFT-domain phase ramp — the gather roll was the hottest op of the
+    whole tracking scan, see dsp.roll_code_fft)."""
     rolled = dsp.roll_code_fft(code_fft, delay)
-    prod = mixed * jnp.tile(rolled, n_cyc)
-    inner = 128
-    n_sub = ngps // inner
-    rows = prod.reshape(n_sub, inner)
-    cps = jnp.concatenate([jnp.zeros((1,), prod.dtype),
-                           jnp.cumsum(jnp.sum(rows, axis=1))])
-    bpos = jnp.minimum(delay + cs * jnp.arange(n_cyc + 1, dtype=jnp.int32),
-                       ngps)                                  # [n_cyc+1]
-    bchunk = bpos // inner
-    rmask = (jnp.arange(inner)[None, :]
-             < (bpos % inner)[:, None]).astype(jnp.float32)
-    resid = jnp.sum(rows[jnp.minimum(bchunk, n_sub - 1)] * rmask, axis=1)
-    c_at = cps[bchunk] + resid                                # c[bpos]
-    return c_at[0], jnp.diff(c_at)
+    return _segment_sums_rolled(mixed, rolled, delay, cfg)
 
 
 def _decode_means(mixed: Array, code_fft: Array, delay: Array,
@@ -510,26 +510,36 @@ track_chunk = functools.partial(
 # ---------------------------------------------------------------------------
 
 
-def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
-                   blocks: Array, stream_no0: Array, code: Array,
-                   code_fft: Array) -> tuple[ChannelState, ChannelOut]:
-    """Track K consecutive blocks for one channel in one fused step.
+class HeavyOut(NamedTuple):
+    """Per-channel heavy-stage results for one K-block step."""
 
-    blocks: complex64[k, ngps]; stream_no0: stream number of blocks[0].
-    Returns (new_state, outs with leading axis k).
+    delay_k: Array        # i32[k]; measured delay per block (-1 = miss)
+    code_phase_k: Array   # f32[k]
+    norm_max_k: Array     # f32[k]
+    new_delay_k: Array    # i32[k]; miss -> previous block's delay
+    head_k: Array         # c64[k]; wipeoff head sums
+    seg_sums_k: Array     # c64[k, n_cyc]
+    phase_end: Array      # f32; NCO phase after the k blocks
+    wipe_delay: Array     # i32; boundary delay used for the wipeoff
+
+
+def heavy_channel_k(cfg: ReceiverConfig, k: int, freq: Array, phase: Array,
+                    delay0: Array, code_fft: Array,
+                    blocks: Array) -> HeavyOut:
+    """Heavy feedback-free stages of a K-block step for one channel:
+    frozen-NCO mixing, per-block correlation, code-wipeoff segment sums.
+
+    Code-wipeoff boundaries use the step-start delay: the code phase
+    drifts < 0.01 samples/block (slew-limited), so boundaries shift by
+    at most ~1 sample per step — irrelevant to the per-ms means, the
+    bit edges, and the subframe ST anchor (which snaps to code-period
+    boundaries, models/pseudorange.py); pseudoranges use the
+    correlator's code_phase, never the decode boundaries.  This lets
+    the roll run once per step and the wipeoff batch over all K blocks
+    with one shared rolled code.
     """
-    # stream-skip detection for the step's first block (gaps are only
-    # introduced at chunk boundaries, runtime/receiver.py)
-    skipped = stream_no0 - 1 != state.prev_stream
-    erase = skipped & state.active
-    sign0_in = jnp.where(erase, jnp.int8(0), state.sign0)
-    prev_sign_in = jnp.where(erase, jnp.int8(0), state.prev_sign)
-    carry_sum_in = jnp.where(erase, jnp.complex64(0), state.carry_sum)
-    carry_cnt_in = jnp.where(erase, 0, state.carry_cnt)
-
-    # ---- batched heavy stages (frozen NCO) ----
     flat = blocks.reshape(k * cfg.ngps)
-    mixed_flat, phase_end = dsp.doppler_mix(flat, state.freq, state.phase,
+    mixed_flat, phase_end = dsp.doppler_mix(flat, freq, phase,
                                             cfg.sample_rate)
     mixed = mixed_flat.reshape(k, cfg.ngps)
 
@@ -548,21 +558,61 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
         nd = jnp.where(d >= 0, d, prev)
         return nd, nd
 
-    _, new_delay_k = jax.lax.scan(res_delay, state.delay, delay_k)
+    _, new_delay_k = jax.lax.scan(res_delay, delay0, delay_k)
 
+    rolled = dsp.roll_code_fft(code_fft, delay0)
     head_k, seg_sums_k = jax.vmap(
-        lambda m, d: _segment_sums(m, code_fft, d, cfg))(mixed, new_delay_k)
+        lambda m: _segment_sums_rolled(m, rolled, delay0, cfg))(mixed)
+    return HeavyOut(delay_k, code_phase_k, norm_max_k, new_delay_k,
+                    head_k, seg_sums_k, phase_end, delay0)
+
+
+def heavy_stage(cfg: ReceiverConfig, k: int, states: ChannelState,
+                blocks: Array, code_ffts: Array) -> HeavyOut:
+    """Multi-channel heavy stage: XLA by default; with
+    cfg.use_pallas_kernels the mix+wipeoff runs as one fused Pallas
+    kernel (ops/pallas_kernels.py) and only the DFT correlation stays
+    in XLA (MXU matmuls)."""
+    if cfg.use_pallas_kernels:
+        from gps_sdr_tpu.ops.pallas_kernels import heavy_stage_pallas
+        return heavy_stage_pallas(cfg, k, states, blocks, code_ffts)
+    return jax.vmap(
+        functools.partial(heavy_channel_k, cfg, k),
+        in_axes=(0, 0, 0, 0, None))(
+            states.freq, states.phase, states.delay, code_ffts, blocks)
+
+
+def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
+                   heavy: HeavyOut, stream_no0: Array
+                   ) -> tuple[ChannelState, ChannelOut]:
+    """Cheap per-channel feedback for one K-block step (vmap over
+    channels): means assembly, phase-rotation PLL, bit edges, rings.
+
+    Takes the heavy stage's results (heavy_stage / heavy_channel_k);
+    returns (new_state, outs with leading axis k).
+    """
+    (delay_k, code_phase_k, norm_max_k, new_delay_k, head_k, seg_sums_k,
+     phase_end, wipe_delay) = heavy
+
+    # stream-skip detection for the step's first block (gaps are only
+    # introduced at chunk boundaries, runtime/receiver.py)
+    skipped = stream_no0 - 1 != state.prev_stream
+    erase = skipped & state.active
+    sign0_in = jnp.where(erase, jnp.int8(0), state.sign0)
+    prev_sign_in = jnp.where(erase, jnp.int8(0), state.prev_sign)
+    carry_sum_in = jnp.where(erase, jnp.complex64(0), state.carry_sum)
+    carry_cnt_in = jnp.where(erase, 0, state.carry_cnt)
 
     # ---- cheap per-block feedback (means -> edges -> PLL), scanned ----
     def body(carry, x):
         (dphi, carry_sum, carry_cnt, sign0, prev_sign, prev_signal,
          ms_time, std_dev, locked, df_sum, df_buf, df_cnt, df_idx,
          corr_buf, corr_cnt, corr_idx) = carry
-        head, seg_sums, delay, found = x
+        head, seg_sums, found = x
 
         means, starts, mask, n_valid, carry_sum, carry_cnt = \
-            _means_from_sums(head, seg_sums, delay, carry_sum, carry_cnt,
-                             cfg)
+            _means_from_sums(head, seg_sums, wipe_delay, carry_sum,
+                             carry_cnt, cfg)
         rot = jax.lax.complex(jnp.cos(dphi), -jnp.sin(dphi))
         means = means * rot
 
@@ -590,7 +640,7 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
         carry = (dphi, carry_sum, carry_cnt, sign0, prev_sign, prev_signal,
                  ms_time, std_dev, locked, df_sum, df_buf, df_cnt, df_idx,
                  corr_buf, corr_cnt, corr_idx)
-        return carry, (delay, amplitude, corr_q, corr_l, locked, sign0,
+        return carry, (amplitude, corr_q, corr_l, locked, sign0,
                        ems, est, evalid)
 
     carry0 = (jnp.float32(0), carry_sum_in, carry_cnt_in, sign0_in,
@@ -599,11 +649,11 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
               state.df_cnt, state.df_idx, state.corr_buf, state.corr_cnt,
               state.corr_idx)
     carry, outs = jax.lax.scan(
-        body, carry0, (head_k, seg_sums_k, new_delay_k, delay_k >= 0))
+        body, carry0, (head_k, seg_sums_k, delay_k >= 0))
     (dphi, carry_sum, carry_cnt, sign0, prev_sign, prev_signal, ms_time,
      std_dev, locked, df_sum, df_buf, df_cnt, df_idx, corr_buf, corr_cnt,
      corr_idx) = carry
-    (delay_seq, amp_seq, corr_q_seq, corr_l_seq, locked_seq, sign0_seq,
+    (amp_seq, corr_q_seq, corr_l_seq, locked_seq, sign0_seq,
      ems, est, evalid) = outs
 
     new_freq = jnp.clip(state.freq + df_sum, cfg.min_freq, cfg.max_freq)
@@ -665,13 +715,14 @@ def track_chunk_batched_impl(cfg: ReceiverConfig, states: ChannelState,
         raise ValueError(f"T={t} not divisible by blocks_per_step={k}")
     grouped = blocks.reshape(t // k, k, blocks.shape[-1])
 
-    step = jax.vmap(
+    cheap = jax.vmap(
         functools.partial(channel_step_k, cfg, k),
-        in_axes=(0, None, None, 0, 0), out_axes=0)
+        in_axes=(0, 0, None), out_axes=0)
 
     def body(carry, x):
         blk_k, sno = x
-        new_states, out = step(carry, blk_k, sno, codes, code_ffts)
+        heavy = heavy_stage(cfg, k, carry, blk_k, code_ffts)
+        new_states, out = cheap(carry, heavy, sno)
         return new_states, out
 
     stream_nos = stream0 + k * jnp.arange(t // k, dtype=jnp.int32)
