@@ -74,6 +74,24 @@ class Session:
         self.summaries.append(summary)
         if self.reporter is not None:
             self.reporter.update(epoch.frames, summary, self.evaluator)
+            self._handle_ui_events()
+
+    def _handle_ui_events(self) -> None:
+        """UI -> receiver control surface (the reference's GUI buttons /
+        keys forwarded over the command UDP socket, gpseval.py:591-598;
+        here a function call)."""
+        get = getattr(self.reporter, "get_events", None)
+        if get is None:
+            return
+        for ev in get():
+            if ev == "SWEEP":
+                self.receiver.request_sweep()
+            elif ev == "STOP":
+                self.receiver.stop()
+            elif ev == "MAP" and hasattr(self.reporter, "save_map"):
+                path = self.reporter.save_map("gps_map.html")
+                if path:
+                    print(f"map written to {path}")
 
     meter = None
 
