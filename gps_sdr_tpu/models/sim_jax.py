@@ -79,7 +79,7 @@ def _synth_block(cfg: ReceiverConfig, codes, nav_bits, amp, pos0, pos_rate,
         # nav bit per code period, then the same slice-select expansion
         pp = jnp.arange(n_rep + 1, dtype=jnp.int32) - 1
         bpp = bits[jnp.clip((bb.astype(jnp.int32) + pp) // BIT_MS,
-                            0, MAX_BITS - 1)]   # tiny gather [n_rep+1]
+                            0, bits.shape[0] - 1)]  # tiny gather
         brep = jnp.repeat(bpp, cs)              # [(n_rep+1) * cs]
 
         def bat(j):                             # bit of period(k) at drift j
@@ -130,10 +130,13 @@ class JaxSynth:
         table = ca_table(cfg)
         self._codes = jnp.asarray(
             np.stack([table[s.prn] for s in self.sats]))
-        # nav bits uploaded as f32 (the tunnel only transfers f32)
-        bits = np.zeros((len(self.sats), MAX_BITS), np.float32)
+        # nav bits uploaded as f32 (the tunnel only transfers f32); the
+        # window grows with the longest provided stream so hours-long
+        # runs never clamp into constant bits
+        n_bits = max(MAX_BITS, max(len(s.nav_bits) for s in self.sats))
+        bits = np.zeros((len(self.sats), n_bits), np.float32)
         for i, s in enumerate(self.sats):
-            m = min(len(s.nav_bits), MAX_BITS)
+            m = min(len(s.nav_bits), n_bits)
             bits[i, :m] = s.nav_bits[:m]
             bits[i, m:] = s.nav_bits[-1] if m else 1
         self._bits = jnp.asarray(bits)
