@@ -186,6 +186,49 @@ def main():
     except Exception as e:
         stress["track_32ch_rtf"] = f"failed: {type(e).__name__}"
     try:
+        # multi-stream serving: S independent receivers in one program
+        from gps_sdr_tpu.ops.tracking import track_streams
+        n_streams = 4
+        per = []
+        for s_i in range(n_streams):
+            prns_s = rng.choice(np.arange(2, 33), N_CHANNELS,
+                                replace=False)
+            sats_s = [SatSignal(prn=int(p),
+                                doppler=float(rng.uniform(-4500, 4500)),
+                                code_delay=float(rng.uniform(0, 2048)),
+                                nav_bits=random_bits(4096,
+                                                     seed=500 + s_i))
+                      for p in prns_s]
+            sy = JaxSynth(cfg, sats_s, noise_std=0.7, seed=20 + s_i)
+            b = sy.chunk(0, t_small)
+            force_f32(b)
+            st = init_channel_states(cfg, N_CHANNELS)
+            for i, s in enumerate(sats_s):
+                st = reset_channel(st, i, s.prn, s.doppler,
+                                   int(s.code_delay) % 2048, cfg)
+            per.append((st, b,
+                        jnp.asarray(np.stack([tab[s.prn]
+                                              for s in sats_s])),
+                        jnp.asarray(to_f32_pairs(
+                            np.stack([ftab[s.prn] for s in sats_s])))))
+        sts = jax.tree.map(lambda *x: jnp.stack(x), *[p[0] for p in per])
+        bl = jnp.stack([p[1] for p in per])
+        cd = jnp.stack([p[2] for p in per])
+        ff = jnp.stack([p[3] for p in per])
+        _, om = track_streams(cfg, sts, bl, jnp.float32(1), cd, ff)
+        force_f32(om.code_phase)
+        sts = jax.tree.map(lambda *x: jnp.stack(x), *[p[0] for p in per])
+        t0 = time.perf_counter()
+        stm, om = track_streams(cfg, sts, bl, jnp.float32(1), cd, ff)
+        force_f32(om.code_phase)
+        wm = time.perf_counter() - t0
+        stress["streams_4x12_aggregate_rtf"] = round(
+            n_streams * sig_small / wm, 1)
+        stress["streams_4x12_locked"] = int(np.asarray(jnp.sum(
+            om.locked[:, -1].astype(jnp.float32))))
+    except Exception as e:
+        stress["streams_4x12_aggregate_rtf"] = f"failed: {type(e).__name__}"
+    try:
         cfg16 = ReceiverConfig(code_samples=16384, n_cyc=8, corr_avg=4,
                                sweep_corr_avg=2)
         sats16 = [SatSignal(prn=int(p),

@@ -740,6 +740,28 @@ track_chunk_batched = functools.partial(
     jax.jit, static_argnums=0, donate_argnums=(1,))(track_chunk_batched_impl)
 
 
+def track_streams_impl(cfg: ReceiverConfig, states: ChannelState,
+                       blocks: Array, stream_no0: Array, codes: Array,
+                       code_ffts: Array) -> tuple[ChannelState, ChannelOut]:
+    """Track S independent IQ streams, each with its own channel set, in
+    one device program (production serving: many receivers per chip).
+
+    Every argument gains a leading stream axis: states leaves [S, C, ..],
+    blocks [S, T, ngps] (or f32 pairs), codes/code_ffts [S, C, cs].
+    stream_no0 broadcasts or is [S].  Semantics per stream are identical
+    to track_chunk_batched.
+    """
+    s0 = jnp.broadcast_to(jnp.asarray(stream_no0),
+                          (blocks.shape[0],))
+    return jax.vmap(
+        lambda st, b, n0, cd, ff: track_chunk_batched_impl(
+            cfg, st, b, n0, cd, ff))(states, blocks, s0, codes, code_ffts)
+
+
+track_streams = functools.partial(
+    jax.jit, static_argnums=0, donate_argnums=(1,))(track_streams_impl)
+
+
 _OUT_DTYPES = {
     "delay": np.int32, "locked": bool, "erased": bool,
     "sweep_request": bool, "sign0": np.int8, "edge_ms": np.int32,
