@@ -293,6 +293,35 @@ class NavDecoder:
             if ok:
                 self.edges.append((int(ms), base + int(loc)))
 
+    def push_chunk(self, sign0: np.ndarray, edge_ms: np.ndarray,
+                   edge_local: np.ndarray, edge_valid: np.ndarray,
+                   stream_no0: int, erased: np.ndarray):
+        """Feed a whole chunk of blocks at once (vectorized ingest).
+
+        Arguments are one channel's slices of ChannelOut over T blocks:
+        sign0[T], edge_ms/edge_local/edge_valid[T, E], erased[T].  The
+        device produces ~50 edges/s/channel, but the per-block Python
+        loop cost (T x E iterations) dominated fast replays on slow
+        hosts; this keeps the host O(edges).  Falls back to the
+        per-block path around stream gaps (rare by construction).
+        """
+        if erased.any():
+            for b in range(sign0.shape[0]):
+                self.push_block(sign0[b], edge_ms[b], edge_local[b],
+                                edge_valid[b], stream_no0 + b,
+                                bool(erased[b]))
+            return
+        if self.last_sign == 0:
+            nz = np.nonzero(sign0)[0]
+            if nz.size:
+                self.last_sign = int(sign0[nz[0]])
+        t = np.int64(stream_no0) + np.arange(sign0.shape[0],
+                                             dtype=np.int64)
+        st = t[:, None] * self.ngps + edge_local.astype(np.int64)
+        sel = edge_valid.astype(bool)
+        self.edges.extend(zip(edge_ms[sel].astype(int).tolist(),
+                              st[sel].tolist()))
+
     def _frame_bits(self) -> tuple[np.ndarray, np.ndarray]:
         """Edges -> logical bits with 20 ms framing and r>17 rounding
         (logicalBits, gpslib.py:1465-1492).  Consumes all but the last

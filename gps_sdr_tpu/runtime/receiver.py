@@ -198,21 +198,20 @@ class Receiver:
         self.status.stream_no += nb
         self.status.blocks_processed += nb
 
-        # code phases + nav bits per slot
+        # code phases + nav bits per slot (vectorized host ingest)
         coph: dict = {}
         for slot, prn in enumerate(self.slots.slot_prn):
             if prn == 0:
                 continue
-            dec = self.decoders[slot]
-            for b in range(nb):
-                dec.push_block(outs.sign0[b, slot], outs.edge_ms[b, slot],
-                               outs.edge_local[b, slot],
-                               outs.edge_valid[b, slot],
-                               stream_no=stream0 + b,
-                               erased=bool(outs.erased[b, slot]))
-                cp = float(outs.code_phase[b, slot])
-                if cp >= 0:
-                    coph.setdefault(prn, []).append((stream0 + b, cp))
+            self.decoders[slot].push_chunk(
+                outs.sign0[:, slot], outs.edge_ms[:, slot],
+                outs.edge_local[:, slot], outs.edge_valid[:, slot],
+                stream_no0=stream0, erased=outs.erased[:, slot])
+            cp = outs.code_phase[:, slot]
+            ok = np.nonzero(cp >= 0)[0]
+            if ok.size:
+                coph[prn] = list(zip((stream0 + ok).tolist(),
+                                     cp[ok].astype(float).tolist()))
             self.corr_quality[prn] = (float(outs.corr_q[-1, slot]),
                                       float(outs.corr_l[-1, slot]))
 
