@@ -25,3 +25,29 @@ Multi-device scaling  -> gps_sdr_tpu.parallel (mesh, channel sharding,
 __version__ = "0.1.0"
 
 from gps_sdr_tpu.config import ReceiverConfig  # noqa: F401
+
+
+def __getattr__(name):  # lazy: keep `import gps_sdr_tpu` JAX-free
+    import importlib
+
+    top = {
+        "Session": ("gps_sdr_tpu.runtime.session", "Session"),
+        "Receiver": ("gps_sdr_tpu.runtime.receiver", "Receiver"),
+        "Evaluator": ("gps_sdr_tpu.runtime.evaluator", "Evaluator"),
+        "EpochInput": ("gps_sdr_tpu.runtime.evaluator", "EpochInput"),
+        "acquire": ("gps_sdr_tpu.ops.acquisition", "acquire"),
+        "acquire_all": ("gps_sdr_tpu.ops.acquisition", "acquire_all"),
+        "track_chunk": ("gps_sdr_tpu.ops.tracking", "track_chunk"),
+        "track_chunk_batched": ("gps_sdr_tpu.ops.tracking",
+                                "track_chunk_batched"),
+        "track_streams": ("gps_sdr_tpu.ops.tracking", "track_streams"),
+        "make_mesh": ("gps_sdr_tpu.parallel.mesh", "make_mesh"),
+        "track_sharded": ("gps_sdr_tpu.parallel.tracking",
+                          "track_sharded"),
+        "acquire_sharded": ("gps_sdr_tpu.parallel.acquisition",
+                            "acquire_sharded"),
+    }
+    if name in top:
+        mod, attr = top[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'gps_sdr_tpu' has no attribute {name!r}")

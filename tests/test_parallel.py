@@ -103,6 +103,31 @@ def test_track_sharded_exact_vs_sequential(stream8):
                                np.asarray(got_states.phase), atol=1e-3)
 
 
+def test_track_sharded_approximate_stitch(stream8):
+    """n_stitch < n_shards: later time shards start from a k-hop state;
+    tracking must still lock and code phases must match the sequential
+    run away from shard boundaries (the boundary transient is bounded
+    by the PLL re-lock time)."""
+    mesh = make_mesh(8, time_shards=4)
+    states, codes, ffts = _init_states(4)
+    blocks = jnp.asarray(stream8)
+    ref_states, ref_outs = track_chunk(
+        CFG, _init_states(4)[0], blocks, jnp.int32(1),
+        jnp.asarray(codes), jnp.asarray(ffts))
+    _, got_outs = track_sharded(CFG, mesh, states, blocks, jnp.int32(1),
+                                codes, ffts, n_stitch=2)
+    ref_cp = np.asarray(ref_outs.code_phase)
+    got_cp = np.asarray(got_outs.code_phase)
+    both = (ref_cp >= 0) & (got_cp >= 0)
+    # correlation-derived measurements are feedback-light: equal nearly
+    # everywhere even with a 2-pass stitch
+    close = np.abs(ref_cp - got_cp)[both] < 0.5
+    assert close.mean() > 0.9
+    # NOTE: lock flags are NOT asserted here — with 2-block shards the
+    # PLL re-lock transient spans a whole shard; production shards are
+    # thousands of blocks where the transient is negligible.
+
+
 def test_track_sharded_channel_padding(stream8):
     mesh = make_mesh(8, time_shards=2)  # ch axis = 4
     states, codes, ffts = _init_states(3)  # 3 channels -> pad to 4
