@@ -52,3 +52,31 @@ def make_mesh(n_devices: int | None = None,
         ch = n_devices // time_shards
     arr = np.asarray(devs).reshape(time_shards, ch)
     return Mesh(arr, (TIME_AXIS, CH_AXIS))
+
+
+def make_multihost_mesh(coordinator_address: str | None = None,
+                        num_processes: int | None = None,
+                        process_id: int | None = None,
+                        time_shards: int | None = None) -> Mesh:
+    """(time, ch) mesh spanning every device of a multi-host deployment.
+
+    Initializes jax.distributed (DCN control plane) when coordinator
+    parameters are given or the standard cluster env vars are set, then
+    builds the global mesh — shard_map programs in parallel/ work
+    unchanged: XLA routes the ppermute carry exchanges and acquisition
+    all_gathers over ICI within a slice and DCN across slices
+    (SURVEY.md section 5, distributed backend).  Single-host falls back
+    to make_mesh.
+    """
+    import jax
+
+    if coordinator_address is not None or num_processes is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    elif jax.process_count() == 1:
+        try:  # cluster auto-detection (TPU pod env)
+            jax.distributed.initialize()
+        except Exception:
+            pass
+    return make_mesh(len(jax.devices()), time_shards=time_shards)
