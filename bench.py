@@ -41,7 +41,7 @@ from gps_sdr_tpu.ops.tracking import (init_channel_states,  # noqa: E402
                                       to_f32_pairs, track_chunk_batched)
 
 N_CHANNELS = 12
-BLOCKS_PER_STEP = 8   # fused tracking step size (ops/tracking.py)
+BLOCKS_PER_STEP = 8   # fused step size; K<=8 is sequential-equivalent
 
 
 def force_f32(x) -> float:

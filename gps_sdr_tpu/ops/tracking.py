@@ -507,6 +507,12 @@ track_chunk = functools.partial(
 #
 # Semantics match channel_step at K=1 and post-lock differ from the
 # sequential form only through the (sub-Hz) intra-step NCO mistuning.
+#
+# K LIMIT: beyond K~8 the frequency-loop feedback latency lets a steady
+# NCO mistuning hide inside the per-block phase rotations (the df loop
+# never sees the absorbed ramp) and the frequency estimate parks a few
+# Hz off true while still tracking.  K <= 8 is validated bit-equivalent
+# to the sequential loop (tests/test_tracking_batched.py); use K=8.
 # ---------------------------------------------------------------------------
 
 
