@@ -119,6 +119,8 @@ def main():
             force_f32(blk_large)
             run_track(blk_large, t_large)             # compile at this shape
             w_large, st2, outs2 = run_track(blk_large, t_large)
+            w_large2, st2, outs2 = run_track(blk_large, t_large)
+            w_large = min(w_large, w_large2)          # tunnel-noise floor
             break
         except Exception as e:
             if t_large <= 2 * t_small:
