@@ -103,6 +103,41 @@ def test_track_sharded_exact_vs_sequential(stream8):
                                np.asarray(got_states.phase), atol=1e-3)
 
 
+@pytest.mark.parametrize("time_shards", [1, 2, 4])
+def test_track_sharded_consistent_across_shard_counts(stream8, time_shards):
+    """Exact stitching must give the same answer for any shard count."""
+    mesh = make_mesh(8 if time_shards > 1 else 4,
+                     time_shards=time_shards)
+    states, codes, ffts = _init_states(4)
+    _, outs = track_sharded(CFG, mesh, states, jnp.asarray(stream8),
+                            jnp.int32(1), codes, ffts)
+    ref_states, ref_outs = track_chunk(
+        CFG, _init_states(4)[0], jnp.asarray(stream8), jnp.int32(1),
+        jnp.asarray(codes), jnp.asarray(ffts))
+    np.testing.assert_allclose(np.asarray(ref_outs.code_phase),
+                               np.asarray(outs.code_phase), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref_outs.edge_valid),
+                                  np.asarray(outs.edge_valid))
+
+
+def test_acquire_sharded_wide_grid(stream8):
+    """BASELINE stress grid sharded over the mesh: 31 PRN x +-10 kHz."""
+    mesh = make_mesh(8, time_shards=4)
+    wide = CFG.replace(min_freq=-10000.0, max_freq=10000.0)
+    block = stream8[0]
+    prns = np.asarray(wide.prns)
+    ffts = cacode.ca_fft_table(wide)[prns]
+    got = acquire_sharded(wide, mesh, block,
+                          wide.doppler_bins.astype(np.float32), ffts)
+    found_prns = {int(prns[i]) for i in np.nonzero(got.found > 0.5)[0]}
+    assert found_prns == {s.prn for s in SATS}
+    for i, p in enumerate(prns):
+        if int(p) in found_prns:
+            truth = next(s for s in SATS if s.prn == int(p))
+            assert abs(got.freq[i] - truth.doppler) <= wide.step_freq
+            assert abs(got.delay[i] - truth.code_delay) <= 1.5
+
+
 def test_track_sharded_approximate_stitch(stream8):
     """n_stitch < n_shards: later time shards start from a k-hop state;
     tracking must still lock and code phases must match the sequential
