@@ -1,0 +1,155 @@
+"""Device-side synthesis of physical scenarios.
+
+The numpy oracle (models/scenario.py) evaluates the full light-time /
+Sagnac / SV-clock model per sample in float64 — exact, but minutes of
+host time for tens of seconds of IQ.  Here the host evaluates the model
+only at 1 ms knots (the same knots the oracle interpolates from) and
+linearizes each knot interval into f32-safe per-interval parameters:
+
+    carrier:  phase0 (mod 2*pi) + rate * k          [rad, rad/sample]
+    code:     chip position c0 (mod 1023) + crate*k [chips/sample]
+    nav bit:  value before/after the (at most one) 20 ms bit boundary
+              crossing the interval, and its sample position
+
+The device kernel then expands the per-sample waveform.  Within one
+interval the exact model deviates from the linearization by < 1e-17 s
+of tau (range acceleration over 1 ms) — orders of magnitude below the
+f32 rounding already accepted — so device output matches the oracle to
+f32 interpolation error (tested).
+
+This keeps the full closed loop (orbits -> IQ -> receiver -> fix) at
+chip speed: ~20x faster than host synthesis even in this plain-XLA
+form (the chip lookup is a gather; cf. sim_jax's gather-free parametric
+synthesizer for the bench-critical path).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gps_sdr_tpu.config import CA_CHIPS, L1_FREQ, ReceiverConfig
+from gps_sdr_tpu.ops.cacode import ca_chips
+
+BIT_SEC = 0.020
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _synth_chunk_dev(cfg: ReceiverConfig, chips, phase0, phase_rate,
+                     c0, crate, bit_a, bit_b, bit_x, amp, noise_std,
+                     seed0):
+    """IQ for B blocks from per-interval linearized parameters.
+
+    chips: f32[S, 1023]; all per-interval params f32[B, n_cyc, S];
+    amp f32[S]; returns complex64[B, ngps].
+    """
+    cs = cfg.code_samples
+    k = jnp.arange(cs, dtype=jnp.float32)
+
+    def one_interval(ph0, phr, cc0, ccr, ba, bb, bx, a, chip_tab):
+        # [S] params -> [S, cs] contributions, summed over sats
+        ang = ph0[:, None] + phr[:, None] * k[None, :]
+        cpos = cc0[:, None] + ccr[:, None] * k[None, :]
+        idx = jnp.floor(cpos).astype(jnp.int32) % CA_CHIPS
+        cv = jnp.take_along_axis(chip_tab, idx, axis=1)
+        bit = jnp.where(k[None, :] < bx[:, None], ba[:, None],
+                        bb[:, None])
+        sig = (a[:, None] * bit * cv
+               * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)))
+        return jnp.sum(sig, axis=0)
+
+    b, n_cyc, s = phase0.shape
+    flat = lambda x: x.reshape(b * n_cyc, s)
+    segs = jax.vmap(one_interval, in_axes=(0, 0, 0, 0, 0, 0, 0, None,
+                                           None))(
+        flat(phase0), flat(phase_rate), flat(c0), flat(crate),
+        flat(bit_a), flat(bit_b), flat(bit_x), amp, chips)
+    out = segs.reshape(b, n_cyc * cs)
+
+    key = jax.random.fold_in(jax.random.PRNGKey(0),
+                             seed0.astype(jnp.int32))
+    keys = jax.random.split(key, b)
+    noise = jax.vmap(lambda kk: (
+        jax.random.normal(kk, (n_cyc * cs,), jnp.float32)
+        + 1j * jax.random.normal(jax.random.fold_in(kk, 1),
+                                 (n_cyc * cs,), jnp.float32)))(keys)
+    return (out + noise_std * noise).astype(jnp.complex64)
+
+
+@dataclass
+class DeviceScenarioSynth:
+    """Chunkwise device synthesis of a models/scenario.py Scenario."""
+
+    scn: object
+    noise_std: float = 0.5
+    seed: int = 1
+
+    def __post_init__(self):
+        self._chips = jnp.asarray(np.stack(
+            [ca_chips(s.prn) for s in self.scn.sats]).astype(np.float32))
+        self._amp = jnp.asarray(
+            [s.amplitude for s in self.scn.sats], jnp.float32)
+
+    def _params(self, first_block: int, n_blocks: int):
+        """Host: exact f64 knots -> f32 per-interval linearization."""
+        scn, cfg = self.scn, self.scn.cfg
+        fs, cs, n_cyc = cfg.sample_rate, cfg.code_samples, cfg.n_cyc
+        n_iv = n_blocks * n_cyc
+        sample0 = first_block * cfg.ngps
+        knots = scn.t_rx0 + (sample0
+                             + np.arange(n_iv + 1) * cs) / fs
+        shape = (n_blocks, n_cyc, len(scn.sats))
+        ph0 = np.empty(shape, np.float32)
+        phr = np.empty(shape, np.float32)
+        c0 = np.empty(shape, np.float32)
+        cr = np.empty(shape, np.float32)
+        ba = np.empty(shape, np.float32)
+        bb = np.empty(shape, np.float32)
+        bx = np.empty(shape, np.float32)
+        for si, sat in enumerate(scn.sats):
+            tau_k, tau_sv_k = scn.sat_states(knots, sat)
+            tau_ref = scn.sat_states(np.array([scn.t_rx0]), sat)[0][0]
+            # carrier: -2*pi*L1*(tau - tau_ref), phase continuous
+            cyc = L1_FREQ * (tau_k - tau_ref)
+            p0 = (-2.0 * np.pi) * np.mod(cyc[:-1], 1.0)
+            pr = (-2.0 * np.pi) * (np.diff(cyc) / cs)
+            # code: chips = tau_sv * 1023000 (mod 1023)
+            chip_pos = tau_sv_k * (CA_CHIPS * 1000.0)
+            cc0 = np.mod(chip_pos[:-1], CA_CHIPS)
+            ccr = np.diff(chip_pos) / cs
+            # nav bit: at most one 20 ms boundary per 1 ms interval
+            bidx0 = np.floor(tau_sv_k[:-1] / BIT_SEC).astype(np.int64)
+            bidx1 = np.floor(tau_sv_k[1:] / BIT_SEC).astype(np.int64)
+            stream = sat.nav_stream
+
+            def bit_of(idx):
+                return stream[np.clip(idx - sat.bit0, 0,
+                                      len(stream) - 1)]
+
+            a_ = bit_of(bidx0).astype(np.float32)
+            b_ = bit_of(bidx1).astype(np.float32)
+            # crossing sample: tau_sv hits (bidx0+1)*BIT_SEC
+            dtau = tau_sv_k[1:] - tau_sv_k[:-1]
+            x_ = ((bidx0 + 1) * BIT_SEC - tau_sv_k[:-1]) \
+                / np.maximum(dtau, 1e-12) * cs
+            x_ = np.where(bidx1 > bidx0, x_, cs + 1.0)
+            ph0[:, :, si] = p0.reshape(n_blocks, n_cyc)
+            phr[:, :, si] = pr.reshape(n_blocks, n_cyc)
+            c0[:, :, si] = cc0.reshape(n_blocks, n_cyc)
+            cr[:, :, si] = ccr.reshape(n_blocks, n_cyc)
+            ba[:, :, si] = a_.reshape(n_blocks, n_cyc)
+            bb[:, :, si] = b_.reshape(n_blocks, n_cyc)
+            bx[:, :, si] = x_.astype(np.float32).reshape(n_blocks, n_cyc)
+        return ph0, phr, c0, cr, ba, bb, bx
+
+    def chunk(self, first_block: int, n_blocks: int) -> jax.Array:
+        """complex64[n_blocks, ngps] on device."""
+        p = self._params(first_block, n_blocks)
+        seed0 = np.float32((self.seed * 7919 + first_block) % 8_388_608)
+        return _synth_chunk_dev(
+            self.scn.cfg, self._chips, *(jnp.asarray(x) for x in p),
+            self._amp, jnp.float32(self.noise_std), jnp.float32(seed0))
