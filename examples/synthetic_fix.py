@@ -47,6 +47,15 @@ def parse_args():
                     help="synthesize the IQ on the accelerator "
                          "(models/scenario_jax.py) instead of the "
                          "float64 numpy oracle — ~20x faster")
+    ap.add_argument("--on-device", action="store_true",
+                    help="fully device-resident pipeline: the IQ never "
+                         "crosses the host (implies --device-synth)")
+    ap.add_argument("--chunk-sec", type=float, default=None,
+                    help="on-device chunk length in seconds (default "
+                         "~1 s, the reference's reporting cadence; "
+                         "raising it amortizes per-call link latency "
+                         "but coarsens the evaluation cadence — "
+                         "accuracy is validated at the default)")
     ap.add_argument("--quiet", action="store_true",
                     help="suppress the per-second status table")
     return ap.parse_args()
@@ -79,6 +88,21 @@ def main():
         .encode()).hexdigest()[:16]
     path = os.path.join(cache_dir, f"{key}.npy")
     t0 = time.time()
+    if args.on_device:
+        from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
+        dev = DeviceScenarioSynth(scn, noise_std=args.noise)
+        reporter = None if args.quiet else __import__(
+            "gps_sdr_tpu.ui.headless", fromlist=["HeadlessReporter"]
+        ).HeadlessReporter()
+        session = Session(cfg, reporter=reporter)
+        cb = cfg.no_sec if args.chunk_sec is None else max(
+            cfg.no_sec, int(args.chunk_sec / cfg.block_sec))
+        t0 = time.time()
+        session.run_device_source(dev.chunk, n_blocks // cb,
+                                  chunk_blocks=cb)
+        wall = time.time() - t0
+        _report(args, scn, session, wall)
+        return
     if args.device_synth:
         from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
         dev = DeviceScenarioSynth(scn, noise_std=args.noise)
@@ -110,7 +134,10 @@ def main():
     t0 = time.time()
     session.run_source(iter(blocks))
     wall = time.time() - t0
+    _report(args, scn, session, wall)
 
+
+def _report(args, scn, session, wall):
     s = session.final_summary()
     print(f"\nprocessed {args.sec:.0f} s of IQ in {wall:.1f} s "
           f"({args.sec / wall:.1f}x realtime)")

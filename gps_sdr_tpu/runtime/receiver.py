@@ -184,10 +184,12 @@ class Receiver:
     def _run_chunk(self, chunk: list[np.ndarray], skipped: int):
         cfg = self.cfg
         stream0 = self.status.stream_no + 1
-        stacked = np.stack(chunk) if isinstance(chunk[0], np.ndarray) \
-            else jnp.stack(chunk)
-        if isinstance(stacked, np.ndarray):
-            stacked = jnp.asarray(to_f32_pairs(stacked))
+        if isinstance(chunk, _DeviceChunk):
+            stacked = chunk.blocks_dev          # already on device
+        elif isinstance(chunk[0], np.ndarray):
+            stacked = jnp.asarray(to_f32_pairs(np.stack(chunk)))
+        else:
+            stacked = jnp.stack(chunk)
         track = (track_chunk_batched if cfg.blocks_per_step > 1
                  and len(chunk) % cfg.blocks_per_step == 0 else track_chunk)
         self.states, outs = track(cfg, self.states, stacked,
@@ -251,3 +253,58 @@ class Receiver:
     def _process_chunk(self, chunk, swept_slots, skipped):
         epoch, _ = self._run_chunk(chunk, skipped)
         return epoch
+
+    def run_device(self, chunk_provider, n_chunks: int,
+                   chunk_blocks: int | None = None):
+        """Device-resident streaming: IQ never crosses the host.
+
+        chunk_provider(first_block, n_blocks) -> device array
+        [n_blocks, ngps] complex64 (e.g. DeviceScenarioSynth.chunk or
+        JaxSynth.chunk; in production a DMA'd capture buffer).  Only
+        the per-chunk ChannelOut summaries are downloaded.  Yields
+        EpochInput once per chunk, exactly like run().
+        """
+        cfg = self.cfg
+        t = chunk_blocks or cfg.no_sec
+        for ci in range(n_chunks):
+            if self._stop:
+                return
+            first = ci * t
+            blocks_dev = chunk_provider(first, t)
+            if self.sweep_all:
+                # acquisition needs one block on the host (f32 pairs —
+                # the tunnel cannot download complex64)
+                blk0 = _download_block(blocks_dev, 0)
+                self._serve_sweep_all(blk0)
+            epoch, _ = self._run_chunk_dev(blocks_dev, first + 1)
+            yield epoch
+
+    def _run_chunk_dev(self, blocks_dev, stream0: int):
+        chunk = _DeviceChunk(blocks_dev)
+        self.status.stream_no = stream0 - 1
+        return self._run_chunk(chunk, 0)
+
+
+class _DeviceChunk:
+    """Adapter: lets _run_chunk treat a device array as the chunk."""
+
+    def __init__(self, blocks_dev):
+        self.blocks_dev = blocks_dev
+
+    def __len__(self):
+        return self.blocks_dev.shape[0]
+
+    def __getitem__(self, i):
+        if i == 0 or i == -1:   # sweep service uses single blocks
+            return _download_block(self.blocks_dev, i)
+        raise IndexError(i)
+
+
+def _download_block(blocks_dev, i):
+    """One block to the host as complex64 via an f32-pairs transfer."""
+    import jax.numpy as jnp
+
+    pair = np.asarray(jnp.stack(
+        [jnp.real(blocks_dev[i]), jnp.imag(blocks_dev[i])], axis=-1)
+        .astype(jnp.float32))
+    return pair[..., 0] + 1j * pair[..., 1]

@@ -58,6 +58,23 @@ class Session:
                 self.receiver.stop()
         return self.final_summary()
 
+    def run_device_source(self, chunk_provider, n_chunks: int,
+                          chunk_blocks: int | None = None) -> dict:
+        """Device-resident pipeline: IQ chunks live on the accelerator
+        (chunk_provider(first_block, n_blocks) -> device array); only
+        epoch results cross to the host."""
+        from gps_sdr_tpu.utils.profiling import RateMeter
+
+        self.meter = RateMeter(self.cfg.sample_rate)
+        done = 0
+        for epoch in self.receiver.run_device(chunk_provider, n_chunks,
+                                              chunk_blocks):
+            self._consume(epoch)
+            processed = self.receiver.status.blocks_processed
+            self.meter.add((processed - done) * self.cfg.ngps)
+            done = processed
+        return self.final_summary()
+
     def run_epoch_records(self, records: list) -> dict:
         """Replay recorded epoch inputs through the evaluator only (the
         reference's LOAD_PICKLE path, gpseval.py:516-524)."""

@@ -24,11 +24,11 @@ def test_eval_subprocess_over_udp(tmp_path, epoch_records):  # noqa: F811
          "--out", str(out), "--max-sec", "20"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
-        time.sleep(3.0)                       # let it bind the socket
+        time.sleep(8.0)    # let it import jax + bind (slow/loaded host)
         tx = EpochSender()
         for rec in records:
             tx.send(EpochInput(*rec))
-            time.sleep(0.02)                  # don't overrun the socket
+            time.sleep(0.05)                  # don't overrun the socket
         tx.close()
         # idle timeout in run_eval_process ends the loop
         code = proc.wait(timeout=120)
