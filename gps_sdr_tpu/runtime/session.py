@@ -109,6 +109,20 @@ class Session:
                 path = self.reporter.save_map("gps_map.html")
                 if path:
                     print(f"map written to {path}")
+            elif ev == "CLEAR":
+                # reference Clear button: restart statistics/track
+                # (gpsui.py:193-250) without touching tracking state
+                ev_ = self.evaluator
+                ev_.all_pos, ev_.positions = [], []
+                ev_.outliers, ev_.fix_failures = [], []
+                ev_.stat, ev_.last_pos_time = None, None
+            elif ev == "HEIGHT":
+                # reference ConfineHeight toggle: 3-sat mode on/off
+                cfg = self.evaluator.cfg
+                self.evaluator.cfg = cfg.replace(
+                    conf_height=not cfg.conf_height)
+                print(f"height constraint: "
+                      f"{self.evaluator.cfg.conf_height}")
 
     meter = None
 

@@ -72,6 +72,12 @@ class PlotUI:
             self._events.append("STOP")
         elif key == "m":
             self._events.append("MAP")
+        elif key == "r":                      # Clear (gpsui.py:193-250)
+            self._events.append("CLEAR")
+            self._track_en = []
+            self._origin = None
+        elif key == "h":                      # ConfineHeight toggle
+            self._events.append("HEIGHT")
 
     def get_events(self) -> list[str]:
         ev, self._events = self._events, []
@@ -156,7 +162,7 @@ class PlotUI:
             f"LSF failures   : {summary.get('n_fails', 0)}",
             f"phase errors   : {summary.get('n_phase_errors', 0)}",
             "",
-            "keys: [s]weep  [q]uit  [m]ap",
+            "keys: [s]weep [r]eset [q]uit [m]ap [h]eight",
         ]
         ax.text(0.0, 1.0, "\n".join(lines), family="monospace",
                 fontsize=8, va="top", transform=ax.transAxes)

@@ -40,6 +40,37 @@ def test_ui_stop_event_halts_receiver():
     assert s.receiver._stop
 
 
+class EventOnceUI:
+    def __init__(self, event):
+        self.event = event
+        self.n = 0
+
+    def update(self, frames, summary, ev):
+        self.n += 1
+
+    def get_events(self):
+        return [self.event] if self.n == 1 else []
+
+
+def test_ui_clear_and_height_events():
+    cfg = ReceiverConfig()
+    sat = SatSignal(prn=9, doppler=1500.0, code_delay=100.0,
+                    nav_bits=random_bits(64, seed=1))
+    blocks = cached_synth("recovery_skip_v1", lambda: synth_stream(
+        cfg, [sat], n_blocks=3 * cfg.no_sec + 1, noise_std=0.4))
+    s = Session(cfg, reporter=EventOnceUI("HEIGHT"))
+    s.run_source(iter(blocks))
+    assert s.evaluator.cfg.conf_height  # toggled from default False
+
+    s2 = Session(cfg, reporter=EventOnceUI("CLEAR"))
+    s2.evaluator.positions = [[0, 1, 2, 3]]
+    s2.evaluator.stat = (np.zeros(3), np.zeros(3), 1, 0)
+    s2.run_source(iter(blocks))
+    # cleared after the first epoch; no fixes follow (no ephemerides)
+    assert s2.evaluator.positions == []
+    assert s2.evaluator.stat is None
+
+
 def test_ephemeris_cache_age_gating(tmp_path):
     path = tmp_path / "eph.json"
     io.save_ephemerides(str(path), {7: {"IODC": 5, "sqrtA": 5153.6}})
