@@ -190,7 +190,7 @@ def main():
     try:
         # multi-stream serving: S independent receivers in one program
         from gps_sdr_tpu.ops.tracking import track_streams
-        n_streams = 4
+        n_streams = 8
         per = []
         for s_i in range(n_streams):
             prns_s = rng.choice(np.arange(2, 33), N_CHANNELS,
@@ -224,12 +224,12 @@ def main():
         stm, om = track_streams(cfg, sts, bl, jnp.float32(1), cd, ff)
         force_f32(om.code_phase)
         wm = time.perf_counter() - t0
-        stress["streams_4x12_aggregate_rtf"] = round(
+        stress["streams_8x12_aggregate_rtf"] = round(
             n_streams * sig_small / wm, 1)
-        stress["streams_4x12_locked"] = int(np.asarray(jnp.sum(
+        stress["streams_8x12_locked"] = int(np.asarray(jnp.sum(
             om.locked[:, -1].astype(jnp.float32))))
     except Exception as e:
-        stress["streams_4x12_aggregate_rtf"] = f"failed: {type(e).__name__}"
+        stress["streams_8x12_aggregate_rtf"] = f"failed: {type(e).__name__}"
     try:
         cfg16 = ReceiverConfig(code_samples=16384, n_cyc=8, corr_avg=4,
                                sweep_corr_avg=2)
