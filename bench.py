@@ -61,7 +61,8 @@ def fresh_states(cfg, sats):
 def main():
     cfg = ReceiverConfig(max_sat=N_CHANNELS,
                          blocks_per_step=BLOCKS_PER_STEP,
-                         use_pallas_kernels=jax.default_backend() == "tpu")
+                         use_pallas_kernels=jax.default_backend() == "tpu",
+                         use_pallas_cheap=jax.default_backend() == "tpu")
     t_small = 512
     t_large = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 

@@ -90,6 +90,9 @@ class ReceiverConfig:
     # -- device scheduling --
     use_pallas_kernels: bool = False  # Pallas mix+wipeoff kernel in the
                                       # K-block heavy stage (TPU only)
+    use_pallas_cheap: bool = False    # Pallas kernel for the K-block
+                                      # cheap feedback stage (PLL/edges/
+                                      # rings in one launch per step)
     blocks_per_step: int = 1        # tracking blocks fused per scan step
                                     # (1 = per-block PLL exactly like the
                                     # reference; >1 freezes the mixer NCO

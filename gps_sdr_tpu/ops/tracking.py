@@ -292,7 +292,14 @@ def _pll(means: Array, mask: Array, n_valid: Array, locked: Array,
     no_sec = cfg.no_sec
     max_df = jnp.float32(cfg.pll_max_df_per_sec / no_sec)
     ns = means.shape[0]
-    phase = jnp.arctan(means.imag / means.real)
+    # arctan(Q/I) like the reference — but a mean can be exactly 0+0j
+    # (slot-0 of the block after a code-delay wrap through 0: no head
+    # segment and an empty carry), and NaN from 0/0 would contaminate
+    # the masked sums below (NaN*0 = NaN), latching freq to NaN.
+    re_nz = means.real != 0
+    phase = jnp.arctan(means.imag / jnp.where(re_nz, means.real, 1.0))
+    phase = jnp.where(re_nz, phase,
+                      jnp.sign(means.imag) * jnp.float32(np.pi / 2))
     deltas = jnp.diff(phase)
     dmask = (jnp.arange(1, ns) < n_valid)
     steps = jnp.where(dmask & (jnp.abs(deltas) > cfg.pll_phase_jump),
@@ -721,9 +728,13 @@ def track_chunk_batched_impl(cfg: ReceiverConfig, states: ChannelState,
         raise ValueError(f"T={t} not divisible by blocks_per_step={k}")
     grouped = blocks.reshape(t // k, k, blocks.shape[-1])
 
-    cheap = jax.vmap(
-        functools.partial(channel_step_k, cfg, k),
-        in_axes=(0, 0, None), out_axes=0)
+    if cfg.use_pallas_cheap:
+        from gps_sdr_tpu.ops.pallas_cheap import cheap_stage_pallas
+        cheap = functools.partial(cheap_stage_pallas, cfg, k)
+    else:
+        cheap = jax.vmap(
+            functools.partial(channel_step_k, cfg, k),
+            in_axes=(0, 0, None), out_axes=0)
 
     def body(carry, x):
         blk_k, sno = x
