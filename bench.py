@@ -80,7 +80,7 @@ def main():
     ffts = jnp.asarray(to_f32_pairs(np.stack([ftab[s.prn] for s in sats])))
 
     # --- acquisition: one full-grid call (compile, then time) ---
-    blk1 = synth.chunk(0, 1)
+    blk1 = synth.chunk_planar(0, 1)
     force_f32(blk1)
     dopplers = jnp.asarray(cfg.doppler_bins, dtype=np.float32)
     all_ffts = jnp.asarray(to_f32_pairs(ftab[np.asarray(cfg.prns)]))
@@ -94,10 +94,10 @@ def main():
     n_found = int(np.asarray(res.found).sum())
 
     # --- device-side synthesis rate (separate from the receiver) ---
-    blk_small = synth.chunk(0, t_small)
+    blk_small = synth.chunk_planar(0, t_small)
     force_f32(blk_small)
     t0 = time.perf_counter()
-    blk_small = synth.chunk(0, t_small)
+    blk_small = synth.chunk_planar(0, t_small)
     force_f32(blk_small)
     synth_wall = time.perf_counter() - t0
 
@@ -116,7 +116,7 @@ def main():
     w_small = min(w_small, w_small2)
     while True:                                       # worker-crash fallback
         try:
-            blk_large = synth.chunk(0, t_large)
+            blk_large = synth.chunk_planar(0, t_large)
             force_f32(blk_large)
             run_track(blk_large, t_large)             # compile at this shape
             w_large, st2, outs2 = run_track(blk_large, t_large)
@@ -161,7 +161,7 @@ def main():
                             nav_bits=random_bits(4096, seed=100 + i))
                   for i, p in enumerate(prns32)]
         synth32 = JaxSynth(cfg32, sats32, noise_std=0.7, seed=2)
-        blk32 = synth32.chunk(0, t_small)
+        blk32 = synth32.chunk_planar(0, t_small)
         force_f32(blk32)
         codes32 = jnp.asarray(np.stack([tab[s.prn] for s in sats32]))
         ffts32 = jnp.asarray(to_f32_pairs(
@@ -203,7 +203,7 @@ def main():
                                                      seed=500 + s_i))
                       for p in prns_s]
             sy = JaxSynth(cfg, sats_s, noise_std=0.7, seed=20 + s_i)
-            b = sy.chunk(0, t_small)
+            b = sy.chunk_planar(0, t_small)
             force_f32(b)
             st = init_channel_states(cfg, N_CHANNELS)
             for i, s in enumerate(sats_s):
@@ -239,7 +239,7 @@ def main():
                             code_delay=float(rng.uniform(0, 16384)))
                   for p in (4, 9, 27)]
         s16 = JaxSynth(cfg16, sats16, noise_std=0.3, seed=3)
-        b16 = s16.chunk(0, 1)
+        b16 = s16.chunk_planar(0, 1)
         force_f32(b16)
         ftab16 = cacode.ca_fft_table(cfg16)
         ffts16 = jnp.asarray(to_f32_pairs(

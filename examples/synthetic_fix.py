@@ -98,7 +98,7 @@ def main():
         cb = cfg.no_sec if args.chunk_sec is None else max(
             cfg.no_sec, int(args.chunk_sec / cfg.block_sec))
         t0 = time.time()
-        session.run_device_source(dev.chunk, n_blocks // cb,
+        session.run_device_source(dev.chunk_planar, n_blocks // cb,
                                   chunk_blocks=cb)
         wall = time.time() - t0
         _report(args, scn, session, wall)

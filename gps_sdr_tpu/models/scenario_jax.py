@@ -38,6 +38,11 @@ from gps_sdr_tpu.ops.cacode import ca_chips
 BIT_SEC = 0.020
 
 
+@jax.jit
+def _to_complex(planar):
+    return jax.lax.complex(planar[..., 0, :], planar[..., 1, :])
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _synth_chunk_dev(cfg: ReceiverConfig, chips, phase0, phase_rate,
                      c0, crate, bit_a, bit_b, bit_x, amp, noise_std,
@@ -45,39 +50,41 @@ def _synth_chunk_dev(cfg: ReceiverConfig, chips, phase0, phase_rate,
     """IQ for B blocks from per-interval linearized parameters.
 
     chips: f32[S, 1023]; all per-interval params f32[B, n_cyc, S];
-    amp f32[S]; returns complex64[B, ngps].
+    amp f32[S]; returns planar f32[B, 2, ngps].
     """
     cs = cfg.code_samples
     k = jnp.arange(cs, dtype=jnp.float32)
 
     def one_interval(ph0, phr, cc0, ccr, ba, bb, bx, a, chip_tab):
-        # [S] params -> [S, cs] contributions, summed over sats
+        # [S] params -> [S, cs] contributions, summed over sats;
+        # planar re/im (complex64 on TPU costs X64 emulation calls)
         ang = ph0[:, None] + phr[:, None] * k[None, :]
         cpos = cc0[:, None] + ccr[:, None] * k[None, :]
         idx = jnp.floor(cpos).astype(jnp.int32) % CA_CHIPS
         cv = jnp.take_along_axis(chip_tab, idx, axis=1)
         bit = jnp.where(k[None, :] < bx[:, None], ba[:, None],
                         bb[:, None])
-        sig = (a[:, None] * bit * cv
-               * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)))
-        return jnp.sum(sig, axis=0)
+        env = a[:, None] * bit * cv
+        return (jnp.sum(env * jnp.cos(ang), axis=0),
+                jnp.sum(env * jnp.sin(ang), axis=0))
 
     b, n_cyc, s = phase0.shape
     flat = lambda x: x.reshape(b * n_cyc, s)
-    segs = jax.vmap(one_interval, in_axes=(0, 0, 0, 0, 0, 0, 0, None,
-                                           None))(
+    seg_re, seg_im = jax.vmap(one_interval,
+                              in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
         flat(phase0), flat(phase_rate), flat(c0), flat(crate),
         flat(bit_a), flat(bit_b), flat(bit_x), amp, chips)
-    out = segs.reshape(b, n_cyc * cs)
+    out = jnp.stack([seg_re.reshape(b, n_cyc * cs),
+                     seg_im.reshape(b, n_cyc * cs)], axis=1)  # [b, 2, n]
 
     key = jax.random.fold_in(jax.random.PRNGKey(0),
                              seed0.astype(jnp.int32))
     keys = jax.random.split(key, b)
-    noise = jax.vmap(lambda kk: (
-        jax.random.normal(kk, (n_cyc * cs,), jnp.float32)
-        + 1j * jax.random.normal(jax.random.fold_in(kk, 1),
-                                 (n_cyc * cs,), jnp.float32)))(keys)
-    return (out + noise_std * noise).astype(jnp.complex64)
+    noise = jax.vmap(lambda kk: jnp.stack(
+        [jax.random.normal(kk, (n_cyc * cs,), jnp.float32),
+         jax.random.normal(jax.random.fold_in(kk, 1), (n_cyc * cs,),
+                           jnp.float32)]))(keys)
+    return (out + noise_std * noise).astype(jnp.float32)
 
 
 @dataclass
@@ -146,10 +153,15 @@ class DeviceScenarioSynth:
             bx[:, :, si] = x_.astype(np.float32).reshape(n_blocks, n_cyc)
         return ph0, phr, c0, cr, ba, bb, bx
 
-    def chunk(self, first_block: int, n_blocks: int) -> jax.Array:
-        """complex64[n_blocks, ngps] on device."""
+    def chunk_planar(self, first_block: int, n_blocks: int) -> jax.Array:
+        """planar f32[n_blocks, 2, ngps] re/im on device (preferred for
+        the Pallas tracking path)."""
         p = self._params(first_block, n_blocks)
         seed0 = np.float32((self.seed * 7919 + first_block) % 8_388_608)
         return _synth_chunk_dev(
             self.scn.cfg, self._chips, *(jnp.asarray(x) for x in p),
             self._amp, jnp.float32(self.noise_std), jnp.float32(seed0))
+
+    def chunk(self, first_block: int, n_blocks: int) -> jax.Array:
+        """complex64[n_blocks, ngps] on device."""
+        return _to_complex(self.chunk_planar(first_block, n_blocks))

@@ -27,6 +27,11 @@ from gps_sdr_tpu.ops.cacode import ca_table
 MAX_BITS = 2048     # nav bit window uploaded per satellite
 
 
+@jax.jit
+def _to_complex(planar):
+    return jax.lax.complex(planar[..., 0, :], planar[..., 1, :])
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _synth_block(cfg: ReceiverConfig, codes, nav_bits, amp, pos0, pos_rate,
                  phase0, phase_rate, bit_base, noise_std, seed):
@@ -88,17 +93,20 @@ def _synth_block(cfg: ReceiverConfig, codes, nav_bits, amp, pos0, pos_rate,
         bv = jnp.where(on_d0, bat(0), bat(step))
 
         ang = ph0 + phr * k
-        return a * bv * cv * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        env = a * bv * cv
+        # planar re/im (complex64 on TPU is emulated through costly
+        # X64Split/Combine custom calls; real math avoids them)
+        return jnp.stack([env * jnp.cos(ang), env * jnp.sin(ang)])
 
     sig = jax.vmap(one_sat)(codes, nav_bits, amp, pos0, pos_rate, phase0,
                             phase_rate, bit_base)
-    out = jnp.sum(sig, axis=0)
+    out = jnp.sum(sig, axis=0)                           # [2, n]
     key = jax.random.PRNGKey(0)
     key = jax.random.fold_in(key, seed.astype(jnp.int32))
-    noise = (jax.random.normal(key, (n,), jnp.float32)
-             + 1j * jax.random.normal(jax.random.fold_in(key, 1), (n,),
-                                      jnp.float32))
-    return (out + noise_std * noise).astype(jnp.complex64)
+    noise = jnp.stack([
+        jax.random.normal(key, (n,), jnp.float32),
+        jax.random.normal(jax.random.fold_in(key, 1), (n,), jnp.float32)])
+    return (out + noise_std * noise).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -166,10 +174,12 @@ class JaxSynth:
                 ph.astype(np.float32), ph_rate.astype(np.float32),
                 bit_base.astype(np.float32))
 
-    def chunk(self, first_block: int, n_blocks: int) -> jax.Array:
+    def chunk_planar(self, first_block: int, n_blocks: int) -> jax.Array:
         """Generate blocks [first_block, first_block + n_blocks) in ONE
-        device call; complex64[n_blocks, ngps].  Batch-per-call matters:
-        the deployment tunnel has seconds of per-call latency."""
+        device call; planar f32[n_blocks, 2, ngps] re/im — the preferred
+        layout for the Pallas tracking path (no complex-emulation
+        custom calls).  Batch-per-call matters: the deployment tunnel
+        has seconds of per-call latency."""
         idx = np.arange(first_block, first_block + n_blocks)
         pos0, pos_rate, ph0, ph_rate, bit_base = self._origins(idx)
         seeds = ((self.seed * 9973 + idx) % 8_388_608).astype(np.float32)
@@ -178,6 +188,10 @@ class JaxSynth:
             jnp.asarray(pos0), jnp.asarray(pos_rate), jnp.asarray(ph0),
             jnp.asarray(ph_rate), jnp.asarray(bit_base),
             jnp.float32(self.noise_std), jnp.asarray(seeds))
+
+    def chunk(self, first_block: int, n_blocks: int) -> jax.Array:
+        """Like chunk_planar but complex64[n_blocks, ngps]."""
+        return _to_complex(self.chunk_planar(first_block, n_blocks))
 
     def block(self, b: int) -> jax.Array:
         """Generate one block (convenience; prefer chunk())."""

@@ -27,11 +27,24 @@ Array = jax.Array
 
 
 def as_complex_input(x: Array) -> Array:
-    """Accept complex64[...] or f32[..., 2] re/im pairs (the deployment
-    tunnel only transfers f32 across host<->device)."""
+    """Accept complex64[...], f32[..., 2] re/im pairs (the deployment
+    tunnel only transfers f32 across host<->device), or f32[..., 2, N]
+    planar re/im (the preferred on-device IQ layout: complex64 on TPU is
+    emulated with X64Split/Combine custom calls that cost ~0.3 ms per
+    32 MS of stream EACH, so the Pallas hot path keeps planes)."""
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         return x
-    return jax.lax.complex(x[..., 0], x[..., 1])
+    if x.shape[-1] == 2:
+        return jax.lax.complex(x[..., 0], x[..., 1])
+    if x.ndim >= 2 and x.shape[-2] == 2:
+        return jax.lax.complex(x[..., 0, :], x[..., 1, :])
+    raise ValueError(f"not an IQ layout: {x.dtype}{x.shape}")
+
+
+def is_planar_input(x: Array) -> bool:
+    """True for the f32[..., 2, N] planar re/im IQ layout."""
+    return (not jnp.issubdtype(x.dtype, jnp.complexfloating)
+            and x.ndim >= 2 and x.shape[-1] != 2 and x.shape[-2] == 2)
 
 
 def doppler_mix(data: Array, freq: Array, phase: Array,

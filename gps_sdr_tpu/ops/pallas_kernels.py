@@ -172,8 +172,11 @@ def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
         [s, phase, snp, delay0.astype(jnp.float32)], axis=1)
 
     rolled = jax.vmap(dsp.roll_code_fft)(code_ffts, delay0)
-    blocks2 = jnp.stack([jnp.real(blocks), jnp.imag(blocks)],
-                        axis=1).reshape(k, 2, n_cyc, cs)
+    if dsp.is_planar_input(blocks):        # f32[k, 2, ngps]: free reshape
+        blocks2 = blocks.reshape(k, 2, n_cyc, cs)
+    else:                                  # c64[k, ngps]: X64Split cost
+        blocks2 = jnp.stack([jnp.real(blocks), jnp.imag(blocks)],
+                            axis=1).reshape(k, 2, n_cyc, cs)
     center, sums = mix_wipeoff(cfg, k, params, blocks2, rolled)
 
     # correlation on the MXU (XLA); center is already the mean segment

@@ -720,13 +720,16 @@ def track_chunk_batched_impl(cfg: ReceiverConfig, states: ChannelState,
     if k <= 1:
         return track_chunk_impl(cfg, states, blocks, stream_no0, codes,
                                 code_ffts)
-    blocks = as_complex(blocks)
+    if not (cfg.use_pallas_kernels and dsp.is_planar_input(blocks)):
+        # planar f32[T, 2, ngps] feeds the Pallas heavy stage directly;
+        # everything else converts to c64 (X64 emulation cost on TPU)
+        blocks = as_complex(blocks)
     code_ffts = as_complex(code_ffts)
     stream0 = jnp.asarray(stream_no0).astype(jnp.int32)
     t = blocks.shape[0]
     if t % k:
         raise ValueError(f"T={t} not divisible by blocks_per_step={k}")
-    grouped = blocks.reshape(t // k, k, blocks.shape[-1])
+    grouped = blocks.reshape((t // k, k) + blocks.shape[1:])
 
     if cfg.use_pallas_cheap:
         from gps_sdr_tpu.ops.pallas_cheap import cheap_stage_pallas

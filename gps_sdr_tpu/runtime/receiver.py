@@ -301,10 +301,14 @@ class _DeviceChunk:
 
 
 def _download_block(blocks_dev, i):
-    """One block to the host as complex64 via an f32-pairs transfer."""
+    """One block to the host as complex64 via an f32-pairs transfer.
+    Accepts c64[T, ngps] or planar f32[T, 2, ngps] device chunks."""
     import jax.numpy as jnp
 
+    blk = blocks_dev[i]
+    if blk.ndim == 2:                      # planar [2, ngps]
+        plane = np.asarray(blk.astype(jnp.float32))
+        return plane[0] + 1j * plane[1]
     pair = np.asarray(jnp.stack(
-        [jnp.real(blocks_dev[i]), jnp.imag(blocks_dev[i])], axis=-1)
-        .astype(jnp.float32))
+        [jnp.real(blk), jnp.imag(blk)], axis=-1).astype(jnp.float32))
     return pair[..., 0] + 1j * pair[..., 1]

@@ -56,3 +56,14 @@ def test_noise_deterministic_by_block():
     a = np.asarray(synth.chunk(2, 2))
     b = np.asarray(synth.chunk(2, 2))
     np.testing.assert_array_equal(a, b)
+
+
+def test_planar_layout_matches_complex():
+    sats = _sats()
+    synth = JaxSynth(CFG, sats, noise_std=0.3, seed=9)
+    planar = np.asarray(synth.chunk_planar(1, 2))   # [T, 2, ngps]
+    cplx = np.asarray(synth.chunk(1, 2))            # [T, ngps] c64
+    assert planar.shape == (2, 2, CFG.ngps)
+    assert planar.dtype == np.float32
+    np.testing.assert_array_equal(planar[:, 0], cplx.real)
+    np.testing.assert_array_equal(planar[:, 1], cplx.imag)

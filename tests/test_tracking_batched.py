@@ -106,3 +106,47 @@ def test_batched_tracks_like_sequential(stream, k):
         m = min(len(a), len(b))
         assert m > 100
         assert (a[:m] == b[:m]).mean() > 0.99
+
+
+def test_planar_input_equals_complex():
+    """Planar f32[T, 2, ngps] IQ must produce the same results as c64
+    blocks through both the XLA and the Pallas heavy stage (the planar
+    layout exists to avoid TPU complex-emulation custom calls).  Small
+    config: Pallas interpret-mode compiles are expensive on this host."""
+    from gps_sdr_tpu.ops.tracking import reset_channel as _reset
+
+    cfg_s = ReceiverConfig(code_samples=256, n_cyc=8, corr_avg=4,
+                           sweep_corr_avg=2, blocks_per_step=4)
+    sats_s = [SatSignal(prn=5, doppler=987.0, code_delay=77.25,
+                        nav_bits=random_bits(64, seed=5)),
+              SatSignal(prn=12, doppler=-2210.0, code_delay=200.5,
+                        nav_bits=random_bits(64, seed=12))]
+    blocks_c = jnp.asarray(synth_stream(cfg_s, sats_s, 16, noise_std=0.2,
+                                        seed=9))
+    planar = jnp.stack([jnp.real(blocks_c), jnp.imag(blocks_c)], axis=1)
+
+    def states_s():
+        st = init_channel_states(cfg_s, 2)
+        codes = np.zeros((2, cfg_s.code_samples), np.float32)
+        ffts = np.zeros((2, cfg_s.code_samples), np.complex64)
+        for i, s in enumerate(sats_s):
+            st = _reset(st, i, s.prn, s.doppler, int(s.code_delay), cfg_s)
+            codes[i] = cacode.ca_table(cfg_s)[s.prn]
+            ffts[i] = cacode.ca_fft_table(cfg_s)[s.prn]
+        return st, jnp.asarray(codes), jnp.asarray(ffts)
+
+    for pallas in (False, True):
+        cfgk = cfg_s.replace(use_pallas_kernels=pallas,
+                             use_pallas_cheap=pallas)
+        st, codes, ffts = states_s()
+        ref_st, ref = track_chunk_batched(cfgk, st, blocks_c,
+                                          jnp.int32(1), codes, ffts)
+        st2, codes, ffts = states_s()
+        got_st, got = track_chunk_batched(cfgk, st2, planar,
+                                          jnp.int32(1), codes, ffts)
+        np.testing.assert_allclose(np.asarray(ref.code_phase),
+                                   np.asarray(got.code_phase), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ref.amplitude),
+                                   np.asarray(got.amplitude), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ref_st.freq),
+                                   np.asarray(got_st.freq), atol=1e-4)
