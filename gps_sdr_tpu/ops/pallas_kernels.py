@@ -42,15 +42,20 @@ SUMS_PAD = 128   # lanes; holds the n_cyc+1 (<=128) wipeoff sums per row
 
 
 def _mix_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
-                        block_ref, rolled_ref, center_ref, sums_ref):
+                        delays_ref, block_ref, codes_ref, center_ref,
+                        sums_ref):
     """One grid step = one 32 ms block, all channels.
 
     params_ref: SMEM f32[n_ch, 4] = (s, base_phase_b0, snp, delay)
         s    = 2*pi*freq/fs  (rad/sample)
         base = carrier phase at the step's first sample, per channel
         snp  = (s * ngps) mod 2*pi  (per-block phase advance)
+    delays_ref: SMEM i32[n_ch, 1]           (code delays, for the roll;
+                2-D so the spec stays legal under vmap batching)
     block_ref:  VMEM f32[1, 2, n_cyc, cs]   (re plane, im plane)
-    rolled_ref: VMEM f32[n_ch, cs]          (delay-rolled C/A codes)
+    codes_ref:  VMEM f32[n_ch, cs]          (unrolled C/A codes; the
+                delay roll runs in-register — the FFT-domain roll it
+                replaces was ~9% of tracking device time)
     center_ref: VMEM f32[1, n_ch*2, cs]
                 row 2c = re, 2c+1 = im of the MEAN of the corr_avg
                 center code periods (DFT linearity: the correlator
@@ -90,7 +95,8 @@ def _mix_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
         center_ref[0, 2 * c + 1:2 * c + 2, :] = inv * jnp.sum(
             m_im[first_seg:first_seg + ca, :], axis=0, keepdims=True)
 
-        code = rolled_ref[c:c + 1, :]                     # [1, cs]
+        code = pltpu.roll(codes_ref[c:c + 1, :],
+                          shift=delays_ref[c, 0], axis=1)    # [1, cs]
         p_re = m_re * code
         p_im = m_im * code
         dmask = (col < params_ref[c, 3]).astype(jnp.float32)
@@ -117,13 +123,14 @@ def _mix_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def mix_wipeoff(cfg: ReceiverConfig, k: int, params: Array, blocks2: Array,
-                rolled: Array) -> tuple[Array, Array]:
+def mix_wipeoff(cfg: ReceiverConfig, k: int, params: Array, delays: Array,
+                blocks2: Array, codes: Array) -> tuple[Array, Array]:
     """Fused mix + code wipeoff for k blocks x n_ch channels.
 
     params:  f32[n_ch, 4] (see kernel docstring)
+    delays:  i32[n_ch, 1]
     blocks2: f32[k, 2, n_cyc, cs]
-    rolled:  f32[n_ch, cs]
+    codes:   f32[n_ch, cs] (unrolled)
     Returns (center f32[k, n_ch*2, cs]  (mean center segment),
              sums   f32[k, n_ch*2, SUMS_PAD]).
     """
@@ -135,6 +142,7 @@ def mix_wipeoff(cfg: ReceiverConfig, k: int, params: Array, blocks2: Array,
         kern,
         grid=(k,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2, n_cyc, cs), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -151,11 +159,11 @@ def mix_wipeoff(cfg: ReceiverConfig, k: int, params: Array, blocks2: Array,
             jax.ShapeDtypeStruct((k, n_ch * 2, SUMS_PAD), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(params, blocks2, rolled)
+    )(params, delays, blocks2, codes)
 
 
 def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
-                       code_ffts: Array):
+                       codes: Array, code_ffts: Array):
     """Drop-in replacement for the XLA heavy stage (ops/tracking.py):
     Pallas mix+wipeoff kernel + MXU DFT correlation."""
     from gps_sdr_tpu.ops.tracking import HeavyOut
@@ -171,13 +179,13 @@ def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
     params = jnp.stack(
         [s, phase, snp, delay0.astype(jnp.float32)], axis=1)
 
-    rolled = jax.vmap(dsp.roll_code_fft)(code_ffts, delay0)
     if dsp.is_planar_input(blocks):        # f32[k, 2, ngps]: free reshape
         blocks2 = blocks.reshape(k, 2, n_cyc, cs)
     else:                                  # c64[k, ngps]: X64Split cost
         blocks2 = jnp.stack([jnp.real(blocks), jnp.imag(blocks)],
                             axis=1).reshape(k, 2, n_cyc, cs)
-    center, sums = mix_wipeoff(cfg, k, params, blocks2, rolled)
+    center, sums = mix_wipeoff(cfg, k, params, delay0[:, None],
+                               blocks2, codes)
 
     # correlation on the MXU (XLA); center is already the mean segment
     center = center.reshape(k, n_ch, 2, cs)

@@ -581,14 +581,17 @@ def heavy_channel_k(cfg: ReceiverConfig, k: int, freq: Array, phase: Array,
 
 
 def heavy_stage(cfg: ReceiverConfig, k: int, states: ChannelState,
-                blocks: Array, code_ffts: Array) -> HeavyOut:
+                blocks: Array, codes: Array,
+                code_ffts: Array) -> HeavyOut:
     """Multi-channel heavy stage: XLA by default; with
     cfg.use_pallas_kernels the mix+wipeoff runs as one fused Pallas
     kernel (ops/pallas_kernels.py) and only the DFT correlation stays
-    in XLA (MXU matmuls)."""
+    in XLA (MXU matmuls).  `codes` (time domain) feeds the in-kernel
+    delay roll; the XLA path rolls in the frequency domain instead."""
     if cfg.use_pallas_kernels:
         from gps_sdr_tpu.ops.pallas_kernels import heavy_stage_pallas
-        return heavy_stage_pallas(cfg, k, states, blocks, code_ffts)
+        return heavy_stage_pallas(cfg, k, states, blocks, codes,
+                                  code_ffts)
     return jax.vmap(
         functools.partial(heavy_channel_k, cfg, k),
         in_axes=(0, 0, 0, 0, None))(
@@ -741,7 +744,7 @@ def track_chunk_batched_impl(cfg: ReceiverConfig, states: ChannelState,
 
     def body(carry, x):
         blk_k, sno = x
-        heavy = heavy_stage(cfg, k, carry, blk_k, code_ffts)
+        heavy = heavy_stage(cfg, k, carry, blk_k, codes, code_ffts)
         new_states, out = cheap(carry, heavy, sno)
         return new_states, out
 

@@ -26,18 +26,21 @@ SATS = [SatSignal(prn=5, doppler=987.0, code_delay=77.25,
 def _setup(k=4):
     blocks = synth_stream(CFG, SATS, k, noise_std=0.2, seed=9)
     states = init_channel_states(CFG, 2)
+    codes = np.zeros((2, CFG.code_samples), np.float32)
     ffts = np.zeros((2, CFG.code_samples), np.complex64)
     for i, s in enumerate(SATS):
         states = reset_channel(states, i, s.prn, s.doppler,
                                int(s.code_delay), CFG)
+        codes[i] = cacode.ca_table(CFG)[s.prn]
         ffts[i] = cacode.ca_fft_table(CFG)[s.prn]
-    return states, jnp.asarray(blocks), jnp.asarray(ffts)
+    return states, jnp.asarray(blocks), jnp.asarray(codes), \
+        jnp.asarray(ffts)
 
 
 def test_heavy_stage_pallas_matches_xla():
-    states, blocks, ffts = _setup()
-    ref = heavy_stage(CFG, 4, states, blocks, ffts)
-    got = heavy_stage_pallas(CFG, 4, states, blocks, ffts)
+    states, blocks, codes, ffts = _setup()
+    ref = heavy_stage(CFG, 4, states, blocks, codes, ffts)
+    got = heavy_stage_pallas(CFG, 4, states, blocks, codes, ffts)
     np.testing.assert_array_equal(np.asarray(ref.delay_k),
                                   np.asarray(got.delay_k))
     np.testing.assert_allclose(np.asarray(ref.code_phase_k),
@@ -53,10 +56,9 @@ def test_heavy_stage_pallas_matches_xla():
 
 
 def test_track_chunk_batched_with_pallas():
-    states, _, ffts = _setup()
+    states, _, codes, ffts = _setup()
     blocks = jnp.asarray(synth_stream(CFG, SATS, 16, noise_std=0.2,
                                       seed=9))
-    codes = jnp.zeros((2, CFG.code_samples), jnp.float32)
     ref_st, ref = track_chunk_batched(CFG, _setup()[0], blocks,
                                       jnp.int32(1), codes, ffts)
     cfgp = CFG.replace(use_pallas_kernels=True)
