@@ -93,6 +93,10 @@ class ReceiverConfig:
     use_pallas_cheap: bool = False    # Pallas kernel for the K-block
                                       # cheap feedback stage (PLL/edges/
                                       # rings in one launch per step)
+    use_mxu_wipeoff: bool = True      # MXU-contraction formulation of
+                                      # the heavy kernel (False = the
+                                      # per-channel VPU formulation);
+                                      # only read when use_pallas_kernels
     blocks_per_step: int = 1        # tracking blocks fused per scan step
                                     # (1 = per-block PLL exactly like the
                                     # reference; >1 freezes the mixer NCO

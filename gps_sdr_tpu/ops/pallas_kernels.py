@@ -162,6 +162,162 @@ def mix_wipeoff(cfg: ReceiverConfig, k: int, params: Array, delays: Array,
     )(params, delays, blocks2, codes)
 
 
+def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
+                        delays_ref, rotrow_ref, rotcol_ref, g_ref,
+                        cqsq_ref, block_ref, codes_ref,
+                        center_ref, sums_ref, c0s0_ref, wt_ref):
+    """MXU formulation of mix + code wipeoff, one grid step per block.
+
+    The per-sample oscillator factorizes exactly: with j = q*cs + i,
+    ang = base_b + s*cs*q + s*(i+1), so every per-period wipeoff sum
+    sum_i mixed[q,i]*code[i] is a lane contraction of the RAW block
+    planes against four block-invariant weight rows per channel
+    (w1 = code*cos(s*(i+1)), w2 = code*sin, and their head-masked
+    variants), combined per row with cos/sin(s*cs*q) and per block with
+    cos/sin(base_b).  Likewise the center mean is a row contraction
+    with cq/sq weights combined with c0/s0 lanes.  The VPU version
+    materialized the [n_cyc, cs] oscillator and mixed planes per
+    channel (~16 M VPU ops/block at 12 channels); here the same sums
+    are two MXU passes over the block (~1 M VPU ops/block).
+
+    inputs (per grid step b):
+      params SMEM f32[C, 4] (s, phase0, snp, delay)
+      delays SMEM i32[C, 1]
+      rotrow VMEM f32[1, 2, C]    cos/sin(base_b) as rows
+      rotcol VMEM f32[1, 2C, 1]   same, as columns
+      g      VMEM f32[2C, n_cyc]  center-mask-scaled cq/sq row weights
+      cqsq   VMEM f32[2, n_cyc, C] cos/sin(s*cs*q) in lane-major layout
+      block  VMEM f32[1, 2, n_cyc, cs]
+      codes  VMEM f32[C, cs]
+    outputs:
+      center VMEM f32[1, 2, C, cs]       mean center segment (re, im)
+      sums   VMEM f32[1, 2*(n_cyc+1), C] rows: head_re, seg_re[n_cyc],
+                                         head_im, seg_im[n_cyc]
+    scratch (persist across the sequential grid; built at b == 0):
+      c0s0 f32[2C, cs]; wt f32[4C, cs]
+    """
+    cs, n_cyc = cfg.code_samples, cfg.n_cyc
+    c = n_ch
+    sl = n_cyc + 1
+    f32 = jnp.float32
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1).astype(f32)
+        for ch in range(c):
+            s = params_ref[ch, 0]
+            ar = s * (col + 1.0)
+            c0 = jnp.cos(ar)
+            s0 = jnp.sin(ar)
+            c0s0_ref[ch:ch + 1, :] = c0
+            c0s0_ref[c + ch:c + ch + 1, :] = s0
+            code = pltpu.roll(codes_ref[ch:ch + 1, :],
+                              shift=delays_ref[ch, 0], axis=1)
+            dm = (col < params_ref[ch, 3]).astype(f32)
+            wt_ref[ch:ch + 1, :] = code * c0
+            wt_ref[c + ch:c + ch + 1, :] = code * s0
+            wt_ref[2 * c + ch:2 * c + ch + 1, :] = code * c0 * dm
+            wt_ref[3 * c + ch:3 * c + ch + 1, :] = code * s0 * dm
+
+    br = block_ref[0, 0]                                  # [n_cyc, cs]
+    bi = block_ref[0, 1]
+
+    def nt(x, w):                       # x[q, i] . w[r, i] -> [q, r]
+        return jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    w1 = wt_ref[0:c, :]
+    w2 = wt_ref[c:2 * c, :]
+    w1m = wt_ref[2 * c:3 * c, :]
+    w2m = wt_ref[3 * c:4 * c, :]
+    cq = cqsq_ref[0]                                      # [n_cyc, C]
+    sq = cqsq_ref[1]
+
+    def xy(a1, a2, a3, a4):
+        e = a1 + a4
+        f = a3 - a2
+        return cq * e + sq * f, cq * f - sq * e
+
+    x_f, y_f = xy(nt(br, w1), nt(br, w2), nt(bi, w1), nt(bi, w2))
+    x_m, y_m = xy(nt(br, w1m), nt(br, w2m), nt(bi, w1m), nt(bi, w2m))
+
+    cbr = rotrow_ref[0, 0:1, :]                           # [1, C]
+    sbr = rotrow_ref[0, 1:2, :]
+    lo_re = cbr * x_m + sbr * y_m                         # [n_cyc, C]
+    lo_im = cbr * y_m - sbr * x_m
+    hi_re = (cbr * x_f + sbr * y_f) - lo_re
+    hi_im = (cbr * y_f - sbr * x_f) - lo_im
+    z = jnp.zeros((1, c), f32)
+    seg_re = hi_re + jnp.concatenate([lo_re[1:], z], axis=0)
+    seg_im = hi_im + jnp.concatenate([lo_im[1:], z], axis=0)
+    sums_ref[0, 0:1, :] = lo_re[0:1]
+    sums_ref[0, 1:sl, :] = seg_re
+    sums_ref[0, sl:sl + 1, :] = lo_im[0:1]
+    sums_ref[0, sl + 1:2 * sl, :] = seg_im
+
+    hp = functools.partial(jnp.dot, preferred_element_type=f32,
+                           precision=jax.lax.Precision.HIGHEST)
+    p_br = hp(g_ref[:, :], br)                            # [2C, cs]
+    p_bi = hp(g_ref[:, :], bi)
+    e2 = p_br[0:c] + p_bi[c:2 * c]
+    f2 = p_bi[0:c] - p_br[c:2 * c]
+    c0 = c0s0_ref[0:c, :]
+    s0 = c0s0_ref[c:2 * c, :]
+    u = c0 * e2 + s0 * f2
+    v = c0 * f2 - s0 * e2
+    cbc = rotcol_ref[0, 0:c, 0:1]                         # [C, 1]
+    sbc = rotcol_ref[0, c:2 * c, 0:1]
+    center_ref[0, 0] = cbc * u + sbc * v
+    center_ref[0, 1] = cbc * v - sbc * u
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def mix_wipeoff_mxu(cfg: ReceiverConfig, k: int, params: Array,
+                    delays: Array, rotrow: Array, rotcol: Array, g: Array,
+                    cqsq: Array, blocks2: Array,
+                    codes: Array) -> tuple[Array, Array]:
+    """MXU-contraction mix + wipeoff (see _mxu_wipeoff_kernel)."""
+    n_ch = params.shape[0]
+    cs, n_cyc = cfg.code_samples, cfg.n_cyc
+    sl = n_cyc + 1
+    kern = functools.partial(_mxu_wipeoff_kernel, cfg, n_ch)
+    return pl.pallas_call(
+        kern,
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, n_ch), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * n_ch, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_cyc, cs), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, n_ch, cs), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * sl, n_ch), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, 2, n_ch, cs), jnp.float32),
+            jax.ShapeDtypeStruct((k, 2 * sl, n_ch), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * n_ch, cs), jnp.float32),
+            pltpu.VMEM((4 * n_ch, cs), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(params, delays, rotrow, rotcol, g, cqsq, blocks2, codes)
+
+
 def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
                        codes: Array, code_ffts: Array):
     """Drop-in replacement for the XLA heavy stage (ops/tracking.py):
@@ -184,12 +340,40 @@ def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
     else:                                  # c64[k, ngps]: X64Split cost
         blocks2 = jnp.stack([jnp.real(blocks), jnp.imag(blocks)],
                             axis=1).reshape(k, 2, n_cyc, cs)
-    center, sums = mix_wipeoff(cfg, k, params, delay0[:, None],
-                               blocks2, codes)
+
+    if cfg.use_mxu_wipeoff:
+        base = phase[None, :] + snp[None, :] * jnp.arange(
+            k, dtype=jnp.float32)[:, None]                # [k, C]
+        rotrow = jnp.stack([jnp.cos(base), jnp.sin(base)], axis=1)
+        rotcol = rotrow.reshape(k, 2 * n_ch, 1)
+        q = jnp.arange(n_cyc, dtype=jnp.float32)
+        angq = s[:, None] * jnp.float32(cs) * q[None, :]  # [C, n_cyc]
+        cq_r, sq_r = jnp.cos(angq), jnp.sin(angq)
+        first_seg = (n_cyc - ca) // 2
+        cmask = (((q >= first_seg) & (q < first_seg + ca))
+                 .astype(jnp.float32) / jnp.float32(ca))[None, :]
+        g = jnp.concatenate([cq_r * cmask, sq_r * cmask], axis=0)
+        cqsq = jnp.stack([cq_r.T, sq_r.T])                # [2, n_cyc, C]
+        center2, sums2 = mix_wipeoff_mxu(
+            cfg, k, params, delay0[:, None], rotrow, rotcol, g, cqsq,
+            blocks2, codes)
+        center_c = jax.lax.complex(center2[:, 0], center2[:, 1])
+        sl = n_cyc + 1
+        head_k = jnp.moveaxis(jax.lax.complex(
+            sums2[:, 0], sums2[:, sl]), 0, 1)              # [C, k]
+        seg_sums_k = jnp.transpose(jax.lax.complex(
+            sums2[:, 1:sl], sums2[:, sl + 1:2 * sl]), (2, 0, 1))
+    else:
+        center, sums = mix_wipeoff(cfg, k, params, delay0[:, None],
+                                   blocks2, codes)
+        center = center.reshape(k, n_ch, 2, cs)
+        center_c = jax.lax.complex(center[:, :, 0], center[:, :, 1])
+        sums = sums.reshape(k, n_ch, 2, SUMS_PAD)[:, :, :, :n_cyc + 1]
+        sums_c = jax.lax.complex(sums[:, :, 0], sums[:, :, 1])
+        head_k = jnp.moveaxis(sums_c[:, :, 0], 0, -1)       # [C, k]
+        seg_sums_k = jnp.moveaxis(sums_c[:, :, 1:], 0, 1)   # [C, k, n_cyc]
 
     # correlation on the MXU (XLA); center is already the mean segment
-    center = center.reshape(k, n_ch, 2, cs)
-    center_c = jax.lax.complex(center[:, :, 0], center[:, :, 1])
     fft_mean = dsp.dft(center_c)                          # [k, C, cs]
     corr = dsp.circ_correlate(fft_mean, code_ffts[None, :, :])
     delay_k, code_phase_k, norm_max_k = jax.vmap(jax.vmap(
@@ -201,10 +385,6 @@ def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
 
     _, new_delay_k = jax.lax.scan(res_delay, delay0, delay_k)
 
-    sums = sums.reshape(k, n_ch, 2, SUMS_PAD)[:, :, :, :n_cyc + 1]
-    sums_c = jax.lax.complex(sums[:, :, 0], sums[:, :, 1])  # [k, C, 33]
-    head_k = jnp.moveaxis(sums_c[:, :, 0], 0, -1)           # [C, k]
-    seg_sums_k = jnp.moveaxis(sums_c[:, :, 1:], 0, 1)       # [C, k, n_cyc]
     phase_end = jnp.remainder(phase + snp * k, jnp.float32(2.0 * np.pi))
 
     # per-channel leading axis (the cheap stage is vmapped over C)

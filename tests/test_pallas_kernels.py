@@ -37,10 +37,12 @@ def _setup(k=4):
         jnp.asarray(ffts)
 
 
-def test_heavy_stage_pallas_matches_xla():
+@pytest.mark.parametrize("mxu", [True, False])
+def test_heavy_stage_pallas_matches_xla(mxu):
     states, blocks, codes, ffts = _setup()
-    ref = heavy_stage(CFG, 4, states, blocks, codes, ffts)
-    got = heavy_stage_pallas(CFG, 4, states, blocks, codes, ffts)
+    cfg = CFG.replace(use_mxu_wipeoff=mxu)
+    ref = heavy_stage(cfg, 4, states, blocks, codes, ffts)
+    got = heavy_stage_pallas(cfg, 4, states, blocks, codes, ffts)
     np.testing.assert_array_equal(np.asarray(ref.delay_k),
                                   np.asarray(got.delay_k))
     np.testing.assert_allclose(np.asarray(ref.code_phase_k),
