@@ -29,6 +29,10 @@ sys.path.insert(0, ".")
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
+
+from gps_sdr_tpu.utils.profiling import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 import jax.numpy as jnp  # noqa: E402
 
 from gps_sdr_tpu.config import ReceiverConfig  # noqa: E402
@@ -41,7 +45,11 @@ from gps_sdr_tpu.ops.tracking import (init_channel_states,  # noqa: E402
                                       to_f32_pairs, track_chunk_batched)
 
 N_CHANNELS = 12
-BLOCKS_PER_STEP = 8   # fused step size; K<=8 is sequential-equivalent
+import os  # noqa: E402
+
+# fused step size; K<=8 is the pure per-block df loop, K=16/32 add the
+# step-boundary FLL + predicted wipeoff delays (ops/tracking.py)
+BLOCKS_PER_STEP = int(os.environ.get("BENCH_K", "8"))
 
 
 def force_f32(x) -> float:

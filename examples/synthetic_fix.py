@@ -70,6 +70,9 @@ def main():
     from gps_sdr_tpu.config import ReceiverConfig
     from gps_sdr_tpu.models.scenario import (make_scenario,
                                              synth_scenario_blocks)
+    from gps_sdr_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     from gps_sdr_tpu.runtime.session import Session
     from gps_sdr_tpu.ui.headless import HeadlessReporter
 

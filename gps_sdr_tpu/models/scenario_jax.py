@@ -44,14 +44,16 @@ def _to_complex(planar):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _synth_chunk_dev(cfg: ReceiverConfig, chips, phase0, phase_rate,
-                     c0, crate, bit_a, bit_b, bit_x, amp, noise_std,
+def _synth_chunk_dev(cfg: ReceiverConfig, chips, params, amp, noise_std,
                      seed0):
     """IQ for B blocks from per-interval linearized parameters.
 
-    chips: f32[S, 1023]; all per-interval params f32[B, n_cyc, S];
-    amp f32[S]; returns planar f32[B, 2, ngps].
+    chips: f32[S, 1023]; params f32[7, B, n_cyc, S] stacked
+    (phase0, phase_rate, c0, crate, bit_a, bit_b, bit_x) — ONE array
+    because every host->device upload pays the tunnel's fixed ~30-60 ms
+    round trip; amp f32[S]; returns planar f32[B, 2, ngps].
     """
+    (phase0, phase_rate, c0, crate, bit_a, bit_b, bit_x) = params
     cs = cfg.code_samples
     k = jnp.arange(cs, dtype=jnp.float32)
 
@@ -156,10 +158,10 @@ class DeviceScenarioSynth:
     def chunk_planar(self, first_block: int, n_blocks: int) -> jax.Array:
         """planar f32[n_blocks, 2, ngps] re/im on device (preferred for
         the Pallas tracking path)."""
-        p = self._params(first_block, n_blocks)
+        p = np.stack(self._params(first_block, n_blocks))
         seed0 = np.float32((self.seed * 7919 + first_block) % 8_388_608)
         return _synth_chunk_dev(
-            self.scn.cfg, self._chips, *(jnp.asarray(x) for x in p),
+            self.scn.cfg, self._chips, jnp.asarray(p),
             self._amp, jnp.float32(self.noise_std), jnp.float32(seed0))
 
     def chunk(self, first_block: int, n_blocks: int) -> jax.Array:

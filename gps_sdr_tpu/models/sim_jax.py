@@ -110,9 +110,13 @@ def _synth_block(cfg: ReceiverConfig, codes, nav_bits, amp, pos0, pos_rate,
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _synth_chunk(cfg: ReceiverConfig, codes, nav_bits, amp, pos0, pos_rate,
-                 phase0, phase_rate, bit_base, noise_std, seeds):
-    """T blocks in one call; per-block origin params have shape [T, S]."""
+def _synth_chunk(cfg: ReceiverConfig, codes, nav_bits, amp, origins,
+                 noise_std, seeds):
+    """T blocks in one call; origins f32[5, T, S] stacked (pos0,
+    pos_rate, phase0, phase_rate, bit_base) — one array per upload
+    because each host->device transfer pays the tunnel round trip."""
+    pos0, pos_rate, phase0, phase_rate, bit_base = origins
+
     def one(x):
         p0, pr, ph0, phr, bb, seed = x
         return _synth_block(cfg, codes, nav_bits, amp, p0, pr, ph0, phr,
@@ -181,13 +185,12 @@ class JaxSynth:
         custom calls).  Batch-per-call matters: the deployment tunnel
         has seconds of per-call latency."""
         idx = np.arange(first_block, first_block + n_blocks)
-        pos0, pos_rate, ph0, ph_rate, bit_base = self._origins(idx)
+        origins = np.stack(self._origins(idx))
         seeds = ((self.seed * 9973 + idx) % 8_388_608).astype(np.float32)
         return _synth_chunk(
             self.cfg, self._codes, self._bits, self._amp,
-            jnp.asarray(pos0), jnp.asarray(pos_rate), jnp.asarray(ph0),
-            jnp.asarray(ph_rate), jnp.asarray(bit_base),
-            jnp.float32(self.noise_std), jnp.asarray(seeds))
+            jnp.asarray(origins), jnp.float32(self.noise_std),
+            jnp.asarray(seeds))
 
     def chunk(self, first_block: int, n_blocks: int) -> jax.Array:
         """Like chunk_planar but complex64[n_blocks, ngps]."""

@@ -17,8 +17,10 @@ CPU (interpret mode) and by the batched-vs-sequential tracking tests.
 State row map (NS = 16):
    0 carry_re  1 carry_im  2 carry_cnt  3 sign0      4 prev_sign
    5 prev_sig  6 ms_time   7 std_dev    8 locked     9 df_cnt
-  10 df_idx   11 corr_cnt 12 corr_idx  13 wipe_delay 14 dphi
+  10 df_idx   11 corr_cnt 12 corr_idx  13 wipe_delay[0] 14 dphi
   15 df_sum
+(per-block wipeoff delays ride a separate [K, C] input; row 13 only
+seeds the layout)
 Output row map (outs[K, 8, C]):
    0 amplitude 1 corr_q 2 corr_l 3 locked 4 sign0 (5-7 spare)
 """
@@ -56,7 +58,7 @@ def _atan(x):
 
 
 def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
-                  state_ref, dfbuf_ref, corrbuf_ref,
+                  wipe_ref, state_ref, dfbuf_ref, corrbuf_ref,
                   outs_ref, edges_ref, nstate_ref, ndf_ref, ncorr_ref):
     cs = cfg.code_samples
     n_cyc = cfg.n_cyc
@@ -100,6 +102,9 @@ def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
     corrbuf = corrbuf_ref[:, :]
 
     for b in range(k):
+        # per-block wipeoff boundary delay (code Doppler drift — see
+        # ops/tracking.py predict_wipe_delays)
+        delay = wipe_ref[b:b + 1, :]
         # ---- means assembly (_means_from_sums) ----
         head_re = sums_ref[b, 0:1, :]
         head_im = sums_ref[b, sl:sl + 1, :]
@@ -241,7 +246,7 @@ def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
         outs_ref[b, 2:3, :] = corr_l
         outs_ref[b, 3:4, :] = locked
         outs_ref[b, 4:5, :] = sign0
-        outs_ref[b, 5:6, :] = jnp.zeros((1, c), f32)
+        outs_ref[b, 5:6, :] = phase_offset
         outs_ref[b, 6:7, :] = jnp.zeros((1, c), f32)
         outs_ref[b, 7:8, :] = jnp.zeros((1, c), f32)
 
@@ -279,8 +284,9 @@ def cheap_stage_pallas(cfg: ReceiverConfig, k: int, states, heavy,
         states.prev_signal, states.ms_time.astype(f32), states.std_dev,
         states.locked.astype(f32), states.df_cnt.astype(f32),
         states.df_idx.astype(f32), states.corr_cnt.astype(f32),
-        states.corr_idx.astype(f32), heavy.wipe_delay.astype(f32),
+        states.corr_idx.astype(f32), heavy.wipe_delay[:, 0].astype(f32),
         jnp.zeros((n_ch,), f32), jnp.zeros((n_ch,), f32)], axis=0)
+    wipe_t = jnp.moveaxis(heavy.wipe_delay.astype(f32), 0, 1)  # [k, C]
 
     # sums layout [K, 2*sl, C]: head_re, segs_re, head_im, segs_im
     head = jnp.moveaxis(heavy.head_k, 0, 1)            # [k, C]
@@ -296,11 +302,20 @@ def cheap_stage_pallas(cfg: ReceiverConfig, k: int, states, heavy,
     corrbuf = jnp.moveaxis(states.corr_buf.astype(f32), 0, 1)
 
     outs, edges, nstate, ndf, ncorr = cheap_stage_call(
-        cfg, k, sums_t, found, state0, dfbuf, corrbuf)
+        cfg, k, sums_t, found, wipe_t, state0, dfbuf, corrbuf)
 
     dphi = nstate[14]
     df_sum = nstate[15]
-    new_freq = jnp.clip(states.freq + df_sum, cfg.min_freq, cfg.max_freq)
+    from gps_sdr_tpu.ops.tracking import FLL_MIN_K, fll_step_df
+    df_step = df_sum
+    if k > FLL_MIN_K:
+        # step-boundary FLL from the per-block PLL tail offsets, exactly
+        # as the XLA cheap stage (ops/tracking.py fll_step_df + K LIMIT
+        # note); gated on locked-at-step-entry
+        off_seq = jnp.moveaxis(outs[:, 5], 0, 1)        # [C, k]
+        df_step = jnp.where(states.locked,
+                            fll_step_df(cfg, k, off_seq), df_sum)
+    new_freq = jnp.clip(states.freq + df_step, cfg.min_freq, cfg.max_freq)
     new_phase = jnp.remainder(heavy.phase_end + dphi, f32(2 * np.pi))
     locked = nstate[8] > 0
     corr_q_last = outs[-1, 1]
@@ -319,7 +334,12 @@ def cheap_stage_pallas(cfg: ReceiverConfig, k: int, states, heavy,
         prev_signal=nstate[5],
         sign0=nstate[3].astype(jnp.int8),
         prev_sign=nstate[4].astype(jnp.int8),
-        carry_sum=jax.lax.complex(nstate[0], nstate[1]),
+        # de-rotate the stored carry tail by the step's accumulated PLL
+        # correction: dphi folds into the NCO phase above, so next
+        # step's mixed samples arrive already de-rotated while the raw
+        # carry sums do not (ops/tracking.py channel_step_k, same fix)
+        carry_sum=(jax.lax.complex(nstate[0], nstate[1])
+                   * jax.lax.complex(jnp.cos(dphi), -jnp.sin(dphi))),
         carry_cnt=nstate[2].astype(jnp.int32),
         df_buf=jnp.moveaxis(ndf, 0, 1),
         df_cnt=nstate[9].astype(jnp.int32),
@@ -362,16 +382,16 @@ def cheap_stage_pallas(cfg: ReceiverConfig, k: int, states, heavy,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def cheap_stage_call(cfg: ReceiverConfig, k: int, sums_t, found, state0,
-                     dfbuf, corrbuf):
-    """sums_t f32[K, 2*(n_cyc+1), C]; found f32[K, C]; state0 f32[NS, C];
-    dfbuf f32[no_sec, C]; corrbuf f32[hist, C]."""
+def cheap_stage_call(cfg: ReceiverConfig, k: int, sums_t, found, wipe_t,
+                     state0, dfbuf, corrbuf):
+    """sums_t f32[K, 2*(n_cyc+1), C]; found f32[K, C]; wipe_t f32[K, C];
+    state0 f32[NS, C]; dfbuf f32[no_sec, C]; corrbuf f32[hist, C]."""
     sl = cfg.n_cyc + 1
     c = state0.shape[-1]
     kern = functools.partial(_cheap_kernel, cfg, k)
     return pl.pallas_call(
         kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_shape=[
             jax.ShapeDtypeStruct((k, 8, c), jnp.float32),
@@ -381,4 +401,4 @@ def cheap_stage_call(cfg: ReceiverConfig, k: int, sums_t, found, state0,
             jax.ShapeDtypeStruct((cfg.corr_hist_len, c), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(sums_t, found, state0, dfbuf, corrbuf)
+    )(sums_t, found, wipe_t, state0, dfbuf, corrbuf)

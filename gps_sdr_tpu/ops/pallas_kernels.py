@@ -46,12 +46,14 @@ def _mix_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
                         sums_ref):
     """One grid step = one 32 ms block, all channels.
 
-    params_ref: SMEM f32[n_ch, 4] = (s, base_phase_b0, snp, delay)
+    params_ref: SMEM f32[n_ch, 4] = (s, base_phase_b0, snp, delay0)
         s    = 2*pi*freq/fs  (rad/sample)
         base = carrier phase at the step's first sample, per channel
         snp  = (s * ngps) mod 2*pi  (per-block phase advance)
-    delays_ref: SMEM i32[n_ch, 1]           (code delays, for the roll;
-                2-D so the spec stays legal under vmap batching)
+    delays_ref: SMEM i32[n_ch, k]  per-block wipeoff delays (the code
+                Doppler drifts the boundary ~0.13 samples/block per
+                3 kHz of carrier Doppler — ops/tracking.py
+                predict_wipe_delays)
     block_ref:  VMEM f32[1, 2, n_cyc, cs]   (re plane, im plane)
     codes_ref:  VMEM f32[n_ch, cs]          (unrolled C/A codes; the
                 delay roll runs in-register — the FFT-domain roll it
@@ -65,7 +67,8 @@ def _mix_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
     """
     cs, n_cyc, ca = cfg.code_samples, cfg.n_cyc, cfg.corr_avg
     first_seg = (n_cyc - ca) // 2
-    b = pl.program_id(0).astype(jnp.float32)
+    bi_idx = pl.program_id(0)
+    b = bi_idx.astype(jnp.float32)
 
     br = block_ref[0, 0]                              # [n_cyc, cs]
     bi = block_ref[0, 1]
@@ -95,11 +98,12 @@ def _mix_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
         center_ref[0, 2 * c + 1:2 * c + 2, :] = inv * jnp.sum(
             m_im[first_seg:first_seg + ca, :], axis=0, keepdims=True)
 
+        wipe = delays_ref[c, bi_idx]
         code = pltpu.roll(codes_ref[c:c + 1, :],
-                          shift=delays_ref[c, 0], axis=1)    # [1, cs]
+                          shift=wipe, axis=1)                # [1, cs]
         p_re = m_re * code
         p_im = m_im * code
-        dmask = (col < params_ref[c, 3]).astype(jnp.float32)
+        dmask = (col < wipe.astype(jnp.float32)).astype(jnp.float32)
         lo_re = jnp.sum(p_re * dmask, axis=1, keepdims=True)  # [n_cyc,1]
         lo_im = jnp.sum(p_im * dmask, axis=1, keepdims=True)
         hi_re = jnp.sum(p_re, axis=1, keepdims=True) - lo_re
@@ -128,7 +132,7 @@ def mix_wipeoff(cfg: ReceiverConfig, k: int, params: Array, delays: Array,
     """Fused mix + code wipeoff for k blocks x n_ch channels.
 
     params:  f32[n_ch, 4] (see kernel docstring)
-    delays:  i32[n_ch, 1]
+    delays:  i32[n_ch, k] (per-block wipeoff delays)
     blocks2: f32[k, 2, n_cyc, cs]
     codes:   f32[n_ch, cs] (unrolled)
     Returns (center f32[k, n_ch*2, cs]  (mean center segment),
@@ -181,8 +185,8 @@ def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
     are two MXU passes over the block (~1 M VPU ops/block).
 
     inputs (per grid step b):
-      params SMEM f32[C, 4] (s, phase0, snp, delay)
-      delays SMEM i32[C, 1]
+      params SMEM f32[C, 4] (s, phase0, snp, delay0)
+      delays SMEM i32[C, k]  per-block wipeoff delays
       rotrow VMEM f32[1, 2, C]    cos/sin(base_b) as rows
       rotcol VMEM f32[1, 2C, 1]   same, as columns
       g      VMEM f32[2C, n_cyc]  center-mask-scaled cq/sq row weights
@@ -204,21 +208,28 @@ def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
 
     @pl.when(b == 0)
     def _init():
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1).astype(f32)
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1).astype(f32)
         for ch in range(c):
             s = params_ref[ch, 0]
-            ar = s * (col + 1.0)
-            c0 = jnp.cos(ar)
-            s0 = jnp.sin(ar)
-            c0s0_ref[ch:ch + 1, :] = c0
-            c0s0_ref[c + ch:c + ch + 1, :] = s0
-            code = pltpu.roll(codes_ref[ch:ch + 1, :],
-                              shift=delays_ref[ch, 0], axis=1)
-            dm = (col < params_ref[ch, 3]).astype(f32)
-            wt_ref[ch:ch + 1, :] = code * c0
-            wt_ref[c + ch:c + ch + 1, :] = code * s0
-            wt_ref[2 * c + ch:2 * c + ch + 1, :] = code * c0 * dm
-            wt_ref[3 * c + ch:3 * c + ch + 1, :] = code * s0 * dm
+            ar = s * (col0 + 1.0)
+            c0s0_ref[ch:ch + 1, :] = jnp.cos(ar)
+            c0s0_ref[c + ch:c + ch + 1, :] = jnp.sin(ar)
+
+    # code-dependent weights follow the per-block wipeoff delay (code
+    # Doppler drift, ops/tracking.py predict_wipe_delays): ~4 [1, cs]
+    # multiplies + one in-register roll per channel per block — ~3% of
+    # the block's MXU work
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1).astype(f32)
+    for ch in range(c):
+        wipe = delays_ref[ch, b]
+        code = pltpu.roll(codes_ref[ch:ch + 1, :], shift=wipe, axis=1)
+        dm = (col < wipe.astype(f32)).astype(f32)
+        c0w = c0s0_ref[ch:ch + 1, :]
+        s0w = c0s0_ref[c + ch:c + ch + 1, :]
+        wt_ref[ch:ch + 1, :] = code * c0w
+        wt_ref[c + ch:c + ch + 1, :] = code * s0w
+        wt_ref[2 * c + ch:2 * c + ch + 1, :] = code * c0w * dm
+        wt_ref[3 * c + ch:3 * c + ch + 1, :] = code * s0w * dm
 
     br = block_ref[0, 0]                                  # [n_cyc, cs]
     bi = block_ref[0, 1]
@@ -334,6 +345,9 @@ def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
     snp = jnp.remainder(s * ngps, jnp.float32(2.0 * np.pi))
     params = jnp.stack(
         [s, phase, snp, delay0.astype(jnp.float32)], axis=1)
+    from gps_sdr_tpu.ops.tracking import predict_wipe_delays
+    wipe = jax.vmap(lambda f, d: predict_wipe_delays(cfg, k, f, d))(
+        freq, delay0)                                     # i32[C, k]
 
     if dsp.is_planar_input(blocks):        # f32[k, 2, ngps]: free reshape
         blocks2 = blocks.reshape(k, 2, n_cyc, cs)
@@ -355,7 +369,7 @@ def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
         g = jnp.concatenate([cq_r * cmask, sq_r * cmask], axis=0)
         cqsq = jnp.stack([cq_r.T, sq_r.T])                # [2, n_cyc, C]
         center2, sums2 = mix_wipeoff_mxu(
-            cfg, k, params, delay0[:, None], rotrow, rotcol, g, cqsq,
+            cfg, k, params, wipe, rotrow, rotcol, g, cqsq,
             blocks2, codes)
         center_c = jax.lax.complex(center2[:, 0], center2[:, 1])
         sl = n_cyc + 1
@@ -364,7 +378,7 @@ def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
         seg_sums_k = jnp.transpose(jax.lax.complex(
             sums2[:, 1:sl], sums2[:, sl + 1:2 * sl]), (2, 0, 1))
     else:
-        center, sums = mix_wipeoff(cfg, k, params, delay0[:, None],
+        center, sums = mix_wipeoff(cfg, k, params, wipe,
                                    blocks2, codes)
         center = center.reshape(k, n_ch, 2, cs)
         center_c = jax.lax.complex(center[:, :, 0], center[:, :, 1])
@@ -396,5 +410,5 @@ def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
         head_k=head_k,
         seg_sums_k=seg_sums_k,
         phase_end=phase_end,
-        wipe_delay=delay0,
+        wipe_delay=wipe,
     )

@@ -515,12 +515,43 @@ track_chunk = functools.partial(
 # Semantics match channel_step at K=1 and post-lock differ from the
 # sequential form only through the (sub-Hz) intra-step NCO mistuning.
 #
-# K LIMIT: beyond K~8 the frequency-loop feedback latency lets a steady
-# NCO mistuning hide inside the per-block phase rotations (the df loop
-# never sees the absorbed ramp) and the frequency estimate parks a few
-# Hz off true while still tracking.  K <= 8 is validated bit-equivalent
-# to the sequential loop (tests/test_tracking_batched.py); use K=8.
+# K LIMIT / FLL: beyond K~8 the per-block df loop alone is not enough —
+# its feedback latency lets a steady NCO mistuning hide inside the
+# per-block phase rotations (the df loop never sees the absorbed ramp)
+# and the frequency estimate parks a few Hz off true while still
+# tracking (measured: -12.7 Hz at K=32).  For K > 8 a step-boundary FLL
+# re-tunes the NCO instead: each block's PLL tail offset o_j measures
+# the residual per-block phase increment 2*pi*df*T directly, so a
+# least-squares line over the K offsets gives the mistuning AND its
+# drift; the NCO correction extrapolates the line to the middle of the
+# next step (drift feed-forward, replacing the reference's meanDF ring
+# in this regime, gpslib.py:1246-1253).  K <= 8 keeps the pure df loop
+# and is validated bit-equivalent to the sequential loop; K = 16/32 are
+# validated against the sequential loop's frequency/bits/code phases
+# (tests/test_tracking_batched.py).
 # ---------------------------------------------------------------------------
+
+FLL_MIN_K = 8      # fused steps longer than this use the boundary FLL
+
+
+def fll_step_df(cfg: ReceiverConfig, k: int, off_seq: Array) -> Array:
+    """Step-boundary frequency correction from the K per-block PLL tail
+    offsets (last axis k).  Post-lock each offset is ~2*pi*df*t_blk, so
+    a least-squares line o_j = a + b*j measures the NCO mistuning and
+    its drift; extrapolating to the middle of the NEXT step (j = k +
+    (k-1)/2) zeroes the expected mean offset of that step.  Clipped to
+    the reference's 20 Hz/s slew limit over the k blocks
+    (gpslib.py:1226-1229)."""
+    t_blk = cfg.ngps / cfg.sample_rate
+    j = jnp.arange(k, dtype=jnp.float32)
+    jm = jnp.float32((k - 1) / 2.0)
+    om = jnp.mean(off_seq, axis=-1)
+    sjj = jnp.sum((j - jm) ** 2)
+    slope = jnp.sum((j - jm) * off_seq, axis=-1) / sjj
+    o_next = om + slope * jnp.float32(k)
+    df = o_next / jnp.float32(2 * np.pi * t_blk)
+    max_step = jnp.float32(k * cfg.pll_max_df_per_sec / cfg.no_sec)
+    return jnp.clip(df, -max_step, max_step)
 
 
 class HeavyOut(NamedTuple):
@@ -533,7 +564,29 @@ class HeavyOut(NamedTuple):
     head_k: Array         # c64[k]; wipeoff head sums
     seg_sums_k: Array     # c64[k, n_cyc]
     phase_end: Array      # f32; NCO phase after the k blocks
-    wipe_delay: Array     # i32; boundary delay used for the wipeoff
+    wipe_delay: Array     # i32[k]; per-block wipeoff boundary delays
+
+
+def predict_wipe_delays(cfg: ReceiverConfig, k: int, freq: Array,
+                        delay0: Array) -> Array:
+    """Per-block code-wipeoff boundary delays for a K-block step: i32[k].
+
+    The code phase drifts with the code Doppler freq/1540 (the L1
+    carrier is 1540x the 1.023 MHz chip rate) — ~0.13 samples per 32 ms
+    block at 3 kHz carrier Doppler, i.e. > 1 chip across a K=32 step.
+    A wipeoff frozen at the step-start delay therefore loses the decode
+    means entirely late in a long step (measured: per-ms means die
+    around block ~20, the PLL unwraps on noise, and the channel's
+    frequency walks off).  Predicting the per-block drift from the
+    tracked carrier frequency is exact to ~1e-3 samples/s, so the
+    wipeoff stays aligned for any K.  Positive carrier Doppler
+    compresses the code (delay decreases)."""
+    drift = -(freq / jnp.float32(1540.0)) \
+        * jnp.float32(cfg.code_samples / 1023.0) \
+        * jnp.float32(cfg.ngps / cfg.sample_rate)
+    j = jnp.arange(k, dtype=jnp.float32)
+    w = delay0.astype(jnp.float32) + jnp.round(drift * j)
+    return jnp.mod(w.astype(jnp.int32), cfg.code_samples)
 
 
 def heavy_channel_k(cfg: ReceiverConfig, k: int, freq: Array, phase: Array,
@@ -542,14 +595,11 @@ def heavy_channel_k(cfg: ReceiverConfig, k: int, freq: Array, phase: Array,
     """Heavy feedback-free stages of a K-block step for one channel:
     frozen-NCO mixing, per-block correlation, code-wipeoff segment sums.
 
-    Code-wipeoff boundaries use the step-start delay: the code phase
-    drifts < 0.01 samples/block (slew-limited), so boundaries shift by
-    at most ~1 sample per step — irrelevant to the per-ms means, the
-    bit edges, and the subframe ST anchor (which snaps to code-period
-    boundaries, models/pseudorange.py); pseudoranges use the
-    correlator's code_phase, never the decode boundaries.  This lets
-    the roll run once per step and the wipeoff batch over all K blocks
-    with one shared rolled code.
+    Code-wipeoff boundaries follow the predicted per-block code-Doppler
+    drift (predict_wipe_delays) — the sequential loop's
+    delay-measured-every-block semantics, made feedback-free.
+    Pseudoranges use the correlator's code_phase, never the decode
+    boundaries.
     """
     flat = blocks.reshape(k * cfg.ngps)
     mixed_flat, phase_end = dsp.doppler_mix(flat, freq, phase,
@@ -573,11 +623,11 @@ def heavy_channel_k(cfg: ReceiverConfig, k: int, freq: Array, phase: Array,
 
     _, new_delay_k = jax.lax.scan(res_delay, delay0, delay_k)
 
-    rolled = dsp.roll_code_fft(code_fft, delay0)
+    wipe_k = predict_wipe_delays(cfg, k, freq, delay0)
     head_k, seg_sums_k = jax.vmap(
-        lambda m: _segment_sums_rolled(m, rolled, delay0, cfg))(mixed)
+        lambda m, d: _segment_sums(m, code_fft, d, cfg))(mixed, wipe_k)
     return HeavyOut(delay_k, code_phase_k, norm_max_k, new_delay_k,
-                    head_k, seg_sums_k, phase_end, delay0)
+                    head_k, seg_sums_k, phase_end, wipe_k)
 
 
 def heavy_stage(cfg: ReceiverConfig, k: int, states: ChannelState,
@@ -608,7 +658,7 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
     returns (new_state, outs with leading axis k).
     """
     (delay_k, code_phase_k, norm_max_k, new_delay_k, head_k, seg_sums_k,
-     phase_end, wipe_delay) = heavy
+     phase_end, wipe_k) = heavy
 
     # stream-skip detection for the step's first block (gaps are only
     # introduced at chunk boundaries, runtime/receiver.py)
@@ -624,10 +674,10 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
         (dphi, carry_sum, carry_cnt, sign0, prev_sign, prev_signal,
          ms_time, std_dev, locked, df_sum, df_buf, df_cnt, df_idx,
          corr_buf, corr_cnt, corr_idx) = carry
-        head, seg_sums, found = x
+        head, seg_sums, found, wipe_b = x
 
         means, starts, mask, n_valid, carry_sum, carry_cnt = \
-            _means_from_sums(head, seg_sums, wipe_delay, carry_sum,
+            _means_from_sums(head, seg_sums, wipe_b, carry_sum,
                              carry_cnt, cfg)
         rot = jax.lax.complex(jnp.cos(dphi), -jnp.sin(dphi))
         means = means * rot
@@ -657,7 +707,7 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
                  ms_time, std_dev, locked, df_sum, df_buf, df_cnt, df_idx,
                  corr_buf, corr_cnt, corr_idx)
         return carry, (amplitude, corr_q, corr_l, locked, sign0,
-                       ems, est, evalid)
+                       ems, est, evalid, phase_offset)
 
     carry0 = (jnp.float32(0), carry_sum_in, carry_cnt_in, sign0_in,
               prev_sign_in, state.prev_signal, state.ms_time,
@@ -665,14 +715,30 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
               state.df_cnt, state.df_idx, state.corr_buf, state.corr_cnt,
               state.corr_idx)
     carry, outs = jax.lax.scan(
-        body, carry0, (head_k, seg_sums_k, delay_k >= 0))
+        body, carry0, (head_k, seg_sums_k, delay_k >= 0, wipe_k))
     (dphi, carry_sum, carry_cnt, sign0, prev_sign, prev_signal, ms_time,
      std_dev, locked, df_sum, df_buf, df_cnt, df_idx, corr_buf, corr_cnt,
      corr_idx) = carry
     (amp_seq, corr_q_seq, corr_l_seq, locked_seq, sign0_seq,
-     ems, est, evalid) = outs
+     ems, est, evalid, off_seq) = outs
 
-    new_freq = jnp.clip(state.freq + df_sum, cfg.min_freq, cfg.max_freq)
+    # The step's accumulated PLL correction dphi folds into the NCO phase
+    # below, so the NEXT step's mixed samples arrive already de-rotated —
+    # but the stored carry tail was accumulated under THIS step's frozen
+    # NCO and is still raw.  De-rotate it now, else the next step's
+    # carry-completed mean0 is mis-rotated by a full step of dphi
+    # (~k*2pi*df*t_blk, order pi at K=16 with ~1 Hz mistuning), its sign
+    # flips, and the edge detector emits a spurious edge pair that
+    # desyncs the 20 ms bit framing.
+    carry_sum = carry_sum * jax.lax.complex(jnp.cos(dphi), -jnp.sin(dphi))
+
+    df_step = df_sum
+    if k > FLL_MIN_K:
+        # locked at step entry -> boundary FLL (see K LIMIT note above);
+        # pull-in before lock keeps the accumulated per-block df path
+        df_step = jnp.where(state.locked,
+                            fll_step_df(cfg, k, off_seq), df_sum)
+    new_freq = jnp.clip(state.freq + df_step, cfg.min_freq, cfg.max_freq)
     new_phase = jnp.remainder(phase_end + dphi, jnp.float32(2 * np.pi))
     sweep_request = ((corr_cnt >= cfg.corr_hist_len)
                      & (corr_q_seq[-1] < cfg.min_corr_q) & state.active)
@@ -792,11 +858,31 @@ _OUT_DTYPES = {
 }
 
 
-def outs_to_numpy(outs: ChannelOut) -> ChannelOut:
-    """Fetch a ChannelOut to the host and restore natural dtypes."""
-    host = {}
+@jax.jit
+def pack_outs(outs: ChannelOut) -> Array:
+    """Pack a ChannelOut into ONE f32 buffer [T, C, F] for download.
+
+    The deployment tunnel charges a fixed ~30 ms round trip PER ARRAY
+    downloaded; fetching the 14 fields separately made the download the
+    largest steady per-chunk cost of the streaming receiver (profiled:
+    ~0.45 s per 1 s chunk).  One packed transfer pays it once."""
+    cols = []
     for name in ChannelOut._fields:
-        v = np.asarray(getattr(outs, name))
+        v = getattr(outs, name).astype(jnp.float32)
+        cols.append(v[..., None] if v.ndim == 2 else v)
+    return jnp.concatenate(cols, axis=-1)
+
+
+def unpack_outs(buf: np.ndarray, n_edge: int) -> ChannelOut:
+    """Host-side inverse of pack_outs (buf already a numpy array)."""
+    host = {}
+    off = 0
+    for name in ChannelOut._fields:
+        w = n_edge if name.startswith("edge_") else 1
+        v = buf[..., off:off + w]
+        off += w
+        if w == 1:
+            v = v[..., 0]
         dt = _OUT_DTYPES.get(name)
         if dt is bool:
             v = v > 0.5
@@ -804,6 +890,13 @@ def outs_to_numpy(outs: ChannelOut) -> ChannelOut:
             v = np.rint(v).astype(dt)
         host[name] = v
     return ChannelOut(**host)
+
+
+def outs_to_numpy(outs: ChannelOut) -> ChannelOut:
+    """Fetch a ChannelOut to the host (one packed tunnel transfer) and
+    restore natural dtypes."""
+    n_edge = outs.edge_ms.shape[-1]
+    return unpack_outs(np.asarray(pack_outs(outs)), n_edge)
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -182,6 +182,14 @@ class Receiver:
             yield epoch
 
     def _run_chunk(self, chunk: list[np.ndarray], skipped: int):
+        outs_dev, stream0 = self._dispatch_chunk(chunk)
+        return self._consume_chunk(chunk, outs_dev, stream0, skipped)
+
+    def _dispatch_chunk(self, chunk):
+        """Enqueue tracking for one chunk; returns the (device) outs
+        handle without blocking — downloads happen in _consume_chunk so
+        run_device can overlap the next chunk's device work with the
+        current chunk's download + host-side evaluation."""
         cfg = self.cfg
         stream0 = self.status.stream_no + 1
         if isinstance(chunk, _DeviceChunk):
@@ -195,10 +203,14 @@ class Receiver:
         self.states, outs = track(cfg, self.states, stacked,
                                   jnp.float32(stream0),
                                   self._codes_dev, self._ffts_dev)
-        outs: ChannelOut = outs_to_numpy(outs)
         nb = len(chunk)
         self.status.stream_no += nb
         self.status.blocks_processed += nb
+        return outs, stream0
+
+    def _consume_chunk(self, chunk, outs_dev, stream0: int, skipped: int):
+        cfg = self.cfg
+        outs: ChannelOut = outs_to_numpy(outs_dev)
 
         # code phases + nav bits per slot (vectorized host ingest)
         coph: dict = {}
@@ -263,26 +275,39 @@ class Receiver:
         JaxSynth.chunk; in production a DMA'd capture buffer).  Only
         the per-chunk ChannelOut summaries are downloaded.  Yields
         EpochInput once per chunk, exactly like run().
+
+        The loop runs one chunk ahead: chunk i+1's synthesis + tracking
+        are dispatched (async) before chunk i's outputs are downloaded,
+        so the tunnel round trip and the host-side evaluation overlap
+        with device work.  Channel sweeps consequently take effect one
+        chunk later than in run() — equivalent to one extra second of
+        the reference's sweep latency.
         """
         cfg = self.cfg
         t = chunk_blocks or cfg.no_sec
+        pending = None                  # (chunk, outs_dev, stream0)
         for ci in range(n_chunks):
             if self._stop:
-                return
+                break
             first = ci * t
             blocks_dev = chunk_provider(first, t)
             if self.sweep_all:
+                # channel set changes states: drain the pipeline first.
                 # acquisition needs one block on the host (f32 pairs —
                 # the tunnel cannot download complex64)
+                if pending is not None:
+                    yield self._consume_chunk(*pending, 0)[0]
+                    pending = None
                 blk0 = _download_block(blocks_dev, 0)
                 self._serve_sweep_all(blk0)
-            epoch, _ = self._run_chunk_dev(blocks_dev, first + 1)
-            yield epoch
-
-    def _run_chunk_dev(self, blocks_dev, stream0: int):
-        chunk = _DeviceChunk(blocks_dev)
-        self.status.stream_no = stream0 - 1
-        return self._run_chunk(chunk, 0)
+            chunk = _DeviceChunk(blocks_dev)
+            self.status.stream_no = first
+            outs_dev, stream0 = self._dispatch_chunk(chunk)
+            if pending is not None:
+                yield self._consume_chunk(*pending, 0)[0]
+            pending = (chunk, outs_dev, stream0)
+        if pending is not None:
+            yield self._consume_chunk(*pending, 0)[0]
 
 
 class _DeviceChunk:
@@ -300,15 +325,21 @@ class _DeviceChunk:
         raise IndexError(i)
 
 
-def _download_block(blocks_dev, i):
-    """One block to the host as complex64 via an f32-pairs transfer.
-    Accepts c64[T, ngps] or planar f32[T, 2, ngps] device chunks."""
-    import jax.numpy as jnp
+import functools
 
+
+@functools.partial(jax.jit, static_argnums=1)
+def _block_f32(blocks_dev, i: int):
+    """One block as f32 re/im planes [2, ngps] (jitted: eager ops
+    through the deployment tunnel each pay a slow remote compile)."""
     blk = blocks_dev[i]
     if blk.ndim == 2:                      # planar [2, ngps]
-        plane = np.asarray(blk.astype(jnp.float32))
-        return plane[0] + 1j * plane[1]
-    pair = np.asarray(jnp.stack(
-        [jnp.real(blk), jnp.imag(blk)], axis=-1).astype(jnp.float32))
-    return pair[..., 0] + 1j * pair[..., 1]
+        return blk.astype(jnp.float32)
+    return jnp.stack([jnp.real(blk), jnp.imag(blk)]).astype(jnp.float32)
+
+
+def _download_block(blocks_dev, i):
+    """One block to the host as complex64 via an f32-planes transfer.
+    Accepts c64[T, ngps] or planar f32[T, 2, ngps] device chunks."""
+    plane = np.asarray(_block_f32(blocks_dev, i))
+    return plane[0] + 1j * plane[1]

@@ -74,3 +74,19 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at the repo-local
+    .jax_cache (compiles through the deployment relay take tens of
+    seconds; the cache makes repeat runs start instantly).  Safe to
+    call multiple times; tests/conftest.py does the same for pytest."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -102,7 +102,7 @@ def test_delay_wrap_zero_mean_no_nan():
         head_k=jnp.zeros((n_ch, k), jnp.complex64),
         seg_sums_k=jnp.asarray(segs, jnp.complex64),
         phase_end=jnp.zeros((n_ch,), jnp.float32),
-        wipe_delay=jnp.zeros((n_ch,), jnp.int32))
+        wipe_delay=jnp.zeros((n_ch, k), jnp.int32))
 
     xla = jax.vmap(functools.partial(channel_step_k, cfg, k),
                    in_axes=(0, 0, None), out_axes=0)

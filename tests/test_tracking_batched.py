@@ -78,8 +78,11 @@ def test_k1_equals_sequential(stream):
     np.testing.assert_allclose(np.asarray(ref.freq), np.asarray(got.freq))
 
 
-@pytest.mark.parametrize("k", [4, 8])
+@pytest.mark.parametrize("k", [4, 8, 16, 32])
 def test_batched_tracks_like_sequential(stream, k):
+    """K <= 8: pure per-block df loop.  K = 16/32: step-boundary FLL +
+    per-block predicted wipeoff delays (ops/tracking.py fll_step_df,
+    predict_wipe_delays) — same lock, frequency, code phases, bits."""
     blocks = jnp.asarray(stream)
     n = stream.shape[0]
     st, codes, ffts = _states()
