@@ -48,8 +48,10 @@ N_CHANNELS = 12
 import os  # noqa: E402
 
 # fused step size; K<=8 is the pure per-block df loop, K=16/32 add the
-# step-boundary FLL + predicted wipeoff delays (ops/tracking.py)
-BLOCKS_PER_STEP = int(os.environ.get("BENCH_K", "8"))
+# step-boundary FLL + predicted wipeoff delays (ops/tracking.py).
+# K=16 measured best on one v5e (1956x vs ~1900x at K=8); K=32 runs out
+# of HBM on the 8192-block large-run stage.
+BLOCKS_PER_STEP = int(os.environ.get("BENCH_K", "16"))
 
 
 def force_f32(x) -> float:

@@ -107,10 +107,107 @@ def solve_fix(sat_pos: np.ndarray, time_delay: np.ndarray,
                       ab2 * pos[3] / r_ell]
 
         jtw = jac.T * w
-        delta = -np.linalg.pinv(jtw @ jac) @ (jtw @ fgn)
+        jtj = jtw @ jac
+        try:
+            # 4x4 normal equations: direct solve (LU) is ~20x cheaper
+            # than the reference's pinv (SVD, gpslib.py:1728); pinv only
+            # as the singular-geometry fallback
+            delta = -np.linalg.solve(jtj, jtw @ fgn)
+        except np.linalg.LinAlgError:
+            delta = -np.linalg.pinv(jtj) @ (jtw @ fgn)
         pos = pos + delta
         residual = float(np.linalg.norm(delta))
         it += 1
 
     return FixResult(rec_pos=pos, residual=residual, range_est=range_est,
                      meas_delay=cdt + pos[0], n_iter=it)
+
+
+def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
+                    std_dev: np.ndarray | None = None,
+                    rec_pos0: np.ndarray | None = None,
+                    max_it: int = 15, max_residual: float = 1.0e-8,
+                    t0_guess: float = 0.07,
+                    height: float | None = None,
+                    height_dev: float = 1.0) -> list[FixResult]:
+    """solve_fix over a batch of E epochs that share the satellite count.
+
+    sat_pos float64[E, 3, n]; time_delay float64[E, n]; std_dev
+    float64[E, n] or None; rec_pos0 one shared warm start [4] (GN
+    converges to |delta| < max_residual, so the optimum is start-
+    independent for any converging epoch).  All E normal-equation
+    solves run as one stacked [E, 4, 4] np.linalg.solve per iteration —
+    the per-second fix cadence (32 epochs/s) in ~3 batched iterations
+    instead of 32 Python GN loops.  Returns one FixResult per epoch.
+    """
+    sat_pos = np.asarray(sat_pos, np.float64)
+    E, _, n = sat_pos.shape
+    td = np.asarray(time_delay, np.float64)
+    cdt = GPS_C * (td - td[:, :1])
+
+    pos = np.zeros((E, 4))
+    if rec_pos0 is not None:
+        pos[:] = np.asarray(rec_pos0, np.float64)
+    pos[:, 0] = GPS_C * t0_guess
+
+    use_height = height is not None
+    ab2 = 1.0 / (1.0 - WGS84_F) ** 2
+    if use_height:
+        z0 = (pos[:, 1] == 0) & (pos[:, 2] == 0)
+        pos[z0, 1] = pos[z0, 2] = 3687000.0
+        r2 = (WGS84_A + height) ** 2 - pos[:, 1] ** 2 - pos[:, 2] ** 2
+        pos[:, 3] = (1.0 - WGS84_F) * np.sqrt(np.maximum(r2, 0.0))
+
+    m = n + (1 if use_height else 0)
+    if std_dev is None:
+        w = np.ones((E, m))
+    else:
+        s = np.asarray(std_dev, np.float64)
+        if use_height:
+            s = np.concatenate([s, np.full((E, 1), height_dev)], axis=1)
+        w = 1.0 / np.maximum(s, 1e-6) ** 2
+
+    omega_v = np.stack([-pos[:, 2], pos[:, 1], np.zeros(E)], axis=1)
+    dp = np.zeros((E, 3, n))
+    residual = np.full(E, np.inf)
+    n_iter = np.zeros(E, np.int64)
+    range_est = np.zeros((E, n))
+    for _ in range(max_it):
+        act = residual > max_residual
+        if not act.any():
+            break
+        diff = sat_pos - pos[:, 1:4, None] - dp
+        range_est = np.sqrt(np.sum(diff * diff, axis=1))
+        omega_v = OMEGA_EARTH * np.stack(
+            [-pos[:, 2], pos[:, 1], np.zeros(E)], axis=1)
+        dp = omega_v[:, :, None] * (range_est / GPS_C)[:, None, :]
+
+        fgn = np.empty((E, m))
+        fgn[:, :n] = range_est - pos[:, :1] - cdt
+        jac = np.empty((E, m, 4))
+        jac[:, :n, 0] = -1.0
+        jac[:, :n, 1:] = np.transpose(
+            (pos[:, 1:4, None] - sat_pos) / range_est[:, None, :],
+            (0, 2, 1))
+        if use_height:
+            r_ell = np.sqrt(pos[:, 1] ** 2 + pos[:, 2] ** 2
+                            + ab2 * pos[:, 3] ** 2)
+            fgn[:, n] = r_ell - (WGS84_A + height)
+            jac[:, n, 0] = 0.0
+            jac[:, n, 1] = pos[:, 1] / r_ell
+            jac[:, n, 2] = pos[:, 2] / r_ell
+            jac[:, n, 3] = ab2 * pos[:, 3] / r_ell
+
+        jtw = np.transpose(jac, (0, 2, 1)) * w[:, None, :]
+        jtj = jtw @ jac
+        rhs = (jtw @ fgn[:, :, None])[:, :, 0]
+        delta = -np.linalg.solve(jtj, rhs[:, :, None])[:, :, 0]
+        pos = np.where(act[:, None], pos + delta, pos)
+        residual = np.where(act, np.linalg.norm(delta, axis=1), residual)
+        n_iter += act
+
+    return [FixResult(rec_pos=pos[i], residual=float(residual[i]),
+                      range_est=range_est[i],
+                      meas_delay=cdt[i] + pos[i, 0],
+                      n_iter=int(n_iter[i]))
+            for i in range(E)]

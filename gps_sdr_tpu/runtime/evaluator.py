@@ -23,7 +23,7 @@ import numpy as np
 from gps_sdr_tpu.config import ReceiverConfig
 from gps_sdr_tpu.models.ephemeris import SatStatus
 from gps_sdr_tpu.models.pseudorange import PseudorangeEngine
-from gps_sdr_tpu.ops.pvt import solve_fix
+from gps_sdr_tpu.ops.pvt import FixResult, solve_fix, solve_fix_batch
 from gps_sdr_tpu.utils.gpstime import gps_datetime
 
 
@@ -187,6 +187,14 @@ class Evaluator:
         rec_pos, sat_pos_list, fails = [], [], []
         ptow = None
         sat_res = sorted(sat_res, key=lambda e: (e[1], e[7], e[0]))
+        # pass 1: group epochs (>= calc_sat sats) and collect their
+        # arrays; the GN solves then run STACKED per satellite count
+        # (ops/pvt.py solve_fix_batch) — one [E, 4, 4] solve per
+        # iteration instead of E Python loops.  GN converges to
+        # |delta| < max_residual/10, so sharing the chunk-entry warm
+        # start across the batch yields the same optima the sequential
+        # warm-start loop found.
+        jobs: list = []     # (tow, cyc, week, group, coords, delays, sig)
         r = 0
         while r < len(sat_res):
             group = [sat_res[r]]
@@ -198,23 +206,50 @@ class Evaluator:
                 r += 1
             if len(group) < calc_sat:
                 continue
-            n = len(group)
             coords = np.array([g[2:5] for g in group]).T     # [3, n]
             delays = np.array([g[5] for g in group])
             sigmas = np.array([g[8] for g in group])
-            week = group[0][6]
             if tow != ptow:
                 sat_pos_list += [(g[0], tuple(g[2:5])) for g in group]
             ptow = tow
+            jobs.append((tow, cyc, group[0][6], group, coords, delays,
+                         sigmas))
+
+        # pass 2: batched solves, grouped by satellite count
+        fixes: dict[int, FixResult] = {}
+        by_n: dict[int, list[int]] = {}
+        for j, job in enumerate(jobs):
+            by_n.setdefault(len(job[3]), []).append(j)
+        kw = dict(max_it=cfg.lsf_max_it,
+                  max_residual=cfg.max_residual / 10,
+                  height=cfg.height if cfg.conf_height else None,
+                  height_dev=cfg.height_dev)
+        for idxs in by_n.values():
             try:
-                fix = solve_fix(
-                    coords, delays,
-                    std_dev=sigmas if cfg.lsf_weight else None,
-                    rec_pos0=self.warm_start, max_it=cfg.lsf_max_it,
-                    max_residual=cfg.max_residual / 10,
-                    height=cfg.height if cfg.conf_height else None,
-                    height_dev=cfg.height_dev)
+                res = solve_fix_batch(
+                    np.stack([jobs[j][4] for j in idxs]),
+                    np.stack([jobs[j][5] for j in idxs]),
+                    std_dev=(np.stack([jobs[j][6] for j in idxs])
+                             if cfg.lsf_weight else None),
+                    rec_pos0=self.warm_start, **kw)
+                fixes.update(zip(idxs, res))
             except Exception:
+                # singular geometry somewhere in the stack: retry each
+                # epoch alone so only the bad one records EXCEPTION
+                for j in idxs:
+                    try:
+                        fixes[j] = solve_fix(
+                            jobs[j][4], jobs[j][5],
+                            std_dev=(jobs[j][6] if cfg.lsf_weight
+                                     else None),
+                            rec_pos0=self.warm_start, **kw)
+                    except Exception:
+                        pass
+
+        # pass 3: classification + bookkeeping, in epoch order
+        for j, (tow, cyc, week, group, *_r) in enumerate(jobs):
+            fix = fixes.get(j)
+            if fix is None:
                 fails.append((tow, cyc, "EXCEPTION"))
                 continue
             if fix.residual <= cfg.max_residual:
