@@ -124,7 +124,8 @@ def main():
     #     large vs the ~100 ms deltas being measured) ---
     run_track(blk_small, t_small)                     # compile
     w_small = min(run_track(blk_small, t_small)[0] for _ in range(3))
-    while True:                                       # worker-crash fallback
+    blk_large = None
+    while True:                   # worker-crash / HBM-exhaustion fallback
         try:
             blk_large = synth.chunk_planar(0, t_large)
             force_f32(blk_large)
@@ -138,6 +139,11 @@ def main():
             if t_large <= 2 * t_small:
                 raise
             t_large //= 2
+            # free the failed chunk (an 8192-block planar chunk is
+            # ~4.3 GB of HBM) before allocating the retry size
+            if blk_large is not None:
+                blk_large.delete()
+                blk_large = None
             print(f"large run failed ({type(e).__name__}); retrying with "
                   f"{t_large} blocks", file=sys.stderr)
             time.sleep(10)

@@ -84,6 +84,59 @@ def test_fix_three_sats_with_height():
     assert err < 10.0, f"3-sat height-constrained error {err:.3f} m"
 
 
+def test_batch_matches_single():
+    """solve_fix_batch must converge to the same optima as per-epoch
+    solve_fix (the evaluator batches epochs per satellite count)."""
+    from gps_sdr_tpu.ops.pvt import solve_fix_batch
+
+    rng = np.random.default_rng(9)
+    sat_pos = np.stack([_sat_constellation(6, seed=10 + i)
+                        for i in range(5)])           # [E, 3, n]
+    delays = np.stack([
+        _delays(sat_pos[i], clock_bias=0.03 + 0.001 * i)
+        for i in range(5)])
+    stds = rng.uniform(1.0, 5.0, size=(5, 6))
+
+    batch = solve_fix_batch(sat_pos, delays, std_dev=stds)
+    for i, fb in enumerate(batch):
+        fs = solve_fix(sat_pos[i], delays[i], std_dev=stds[i])
+        np.testing.assert_allclose(fb.rec_pos, fs.rec_pos, atol=1e-5)
+        np.testing.assert_allclose(fb.range_est, fs.range_est, atol=1e-4)
+        np.testing.assert_allclose(fb.meas_delay, fs.meas_delay,
+                                   atol=1e-5)
+        # the Sagnac term is re-linearized each iteration, so the update
+        # norm plateaus ~1e-7 rather than hitting the 1e-8 gate exactly
+        assert fb.residual < 1e-5
+
+
+def test_batch_matches_single_height_mode():
+    from gps_sdr_tpu.ops.pvt import solve_fix_batch
+
+    sat_pos = np.stack([_sat_constellation(3, seed=20 + i)
+                        for i in range(3)])
+    delays = np.stack([_delays(sat_pos[i]) for i in range(3)])
+    batch = solve_fix_batch(sat_pos, delays, height=150.0,
+                            height_dev=1.0, max_it=20)
+    for i, fb in enumerate(batch):
+        fs = solve_fix(sat_pos[i], delays[i], height=150.0,
+                       height_dev=1.0, max_it=20)
+        np.testing.assert_allclose(fb.rec_pos, fs.rec_pos, atol=1e-4)
+
+
+def test_batch_warm_start_shared():
+    """A shared warm start must not change the converged optimum."""
+    from gps_sdr_tpu.ops.pvt import solve_fix_batch
+
+    sat_pos = np.stack([_sat_constellation(5, seed=30 + i)
+                        for i in range(4)])
+    delays = np.stack([_delays(sat_pos[i]) for i in range(4)])
+    cold = solve_fix_batch(sat_pos, delays)
+    warm = solve_fix_batch(sat_pos, delays,
+                           rec_pos0=np.array([0.0, *REC]))
+    for fc, fw in zip(cold, warm):
+        np.testing.assert_allclose(fc.rec_pos, fw.rec_pos, atol=1e-5)
+
+
 def test_fix_warm_start_converges_faster():
     sat_pos = _sat_constellation(5, seed=6)
     delays = _delays(sat_pos)
