@@ -122,7 +122,21 @@ def main():
     # --- tracking at two sizes; difference removes fixed call latency,
     #     min-of-3 removes the one-sided tunnel latency spikes (+-60 ms,
     #     large vs the ~100 ms deltas being measured) ---
-    run_track(blk_small, t_small)                     # compile
+    pallas_fallback = False
+    try:
+        run_track(blk_small, t_small)                 # compile
+    except Exception as e:
+        # the shared tunnel backend intermittently rejects Pallas
+        # executables (INVALID_ARGUMENT) after an earlier crash/OOM on
+        # the remote worker; the XLA path still runs — degrade so the
+        # bench reports a number instead of dying
+        if not cfg.use_pallas_kernels:
+            raise
+        print(f"pallas path failed ({type(e).__name__}); falling back "
+              f"to the XLA path", file=sys.stderr)
+        cfg = cfg.replace(use_pallas_kernels=False, use_pallas_cheap=False)
+        pallas_fallback = True
+        run_track(blk_small, t_small)                 # compile
     w_small = min(run_track(blk_small, t_small)[0] for _ in range(3))
     blk_large = None
     while True:                   # worker-crash / HBM-exhaustion fallback
@@ -297,6 +311,7 @@ def main():
             "code_phase_found_frac": round(cp_found, 4),
             "signal_sec_large_run": round(sig_large, 1),
             "backend": jax.default_backend(),
+            "pallas_fallback": pallas_fallback,
             **stress,
         },
     }
