@@ -197,25 +197,38 @@ def main():
         codes32 = jnp.asarray(np.stack([tab[s.prn] for s in sats32]))
         ffts32 = jnp.asarray(to_f32_pairs(
             np.stack([ftab[s.prn] for s in sats32])))
-        st32 = init_channel_states(cfg32, n32)
-        for i, s in enumerate(sats32):
-            st32 = reset_channel(st32, i, s.prn, s.doppler,
-                                 int(s.code_delay) % 2048, cfg32)
-        st32b, o32 = track_chunk_batched(cfg32, st32, blk32,
-                                         jnp.float32(1), codes32, ffts32)
-        force_f32(o32.code_phase)
-        st32 = init_channel_states(cfg32, n32)
-        for i, s in enumerate(sats32):
-            st32 = reset_channel(st32, i, s.prn, s.doppler,
-                                 int(s.code_delay) % 2048, cfg32)
-        t0 = time.perf_counter()
-        st32b, o32 = track_chunk_batched(cfg32, st32, blk32,
-                                         jnp.float32(1), codes32, ffts32)
-        force_f32(o32.code_phase)
-        w32 = time.perf_counter() - t0
+        def fresh32():
+            st = init_channel_states(cfg32, n32)
+            for i, s in enumerate(sats32):
+                st = reset_channel(st, i, s.prn, s.doppler,
+                                   int(s.code_delay) % 2048, cfg32)
+            return st
+
+        def run32(blocks):
+            st = fresh32()
+            t0 = time.perf_counter()
+            st, o = track_chunk_batched(cfg32, st, blocks,
+                                        jnp.float32(1), codes32, ffts32)
+            force_f32(o.code_phase)
+            return time.perf_counter() - t0, st
+
+        # a 512-block call is ~95% fixed tunnel latency at 32 channels
+        # (~130 ms latency vs ~8 ms compute), so report the same
+        # two-size amortized rate as the headline metric
+        run32(blk32)                                  # compile
+        w32s = min(run32(blk32)[0] for _ in range(2))
+        t32l = 4 * t_small
+        blk32l = synth32.chunk_planar(0, t32l)
+        force_f32(blk32l)
+        run32(blk32l)                                 # compile at this shape
+        w32l, st32b = run32(blk32l)
+        w32l = min(w32l, run32(blk32l)[0])
+        blk32l.delete()
         s32 = {k: np.asarray(v)
                for k, v in summarize_states(cfg32, st32b).items()}
-        stress["track_32ch_rtf"] = round(sig_small / w32, 1)
+        stress["track_32ch_rtf"] = round(
+            (t32l - t_small) * cfg.block_sec / max(w32l - w32s, 1e-9), 1)
+        stress["track_32ch_rtf_single_call"] = round(sig_small / w32s, 1)
         stress["track_32ch_locked"] = int((s32["locked"] > 0.5).sum())
     except Exception as e:
         stress["track_32ch_rtf"] = f"failed: {type(e).__name__}"
