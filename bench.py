@@ -258,18 +258,32 @@ def main():
                                               for s in sats_s])),
                         jnp.asarray(to_f32_pairs(
                             np.stack([ftab[s.prn] for s in sats_s])))))
-        sts = jax.tree.map(lambda *x: jnp.stack(x), *[p[0] for p in per])
         bl = jnp.stack([p[1] for p in per])
         cd = jnp.stack([p[2] for p in per])
         ff = jnp.stack([p[3] for p in per])
-        _, om = track_streams(cfg, sts, bl, jnp.float32(1), cd, ff)
-        force_f32(om.code_phase)
-        sts = jax.tree.map(lambda *x: jnp.stack(x), *[p[0] for p in per])
-        t0 = time.perf_counter()
-        stm, om = track_streams(cfg, sts, bl, jnp.float32(1), cd, ff)
-        force_f32(om.code_phase)
-        wm = time.perf_counter() - t0
+        t_s4 = t_small // 4
+        bl_s = bl[:, :t_s4]
+
+        def run_streams(blocks):
+            sts = jax.tree.map(lambda *x: jnp.stack(x),
+                               *[p[0] for p in per])
+            t0 = time.perf_counter()
+            stm, o = track_streams(cfg, sts, blocks, jnp.float32(1),
+                                   cd, ff)
+            force_f32(o.code_phase)
+            return time.perf_counter() - t0, o
+
+        # two-size amortized aggregate rate (fixed tunnel latency is
+        # ~65% of a single full call at this size)
+        run_streams(bl_s)                              # compile small
+        ws = min(run_streams(bl_s)[0] for _ in range(2))
+        run_streams(bl)                                # compile large
+        wm, om = run_streams(bl)
+        wm = min(wm, run_streams(bl)[0])
         stress["streams_8x12_aggregate_rtf"] = round(
+            n_streams * (t_small - t_s4) * cfg.block_sec
+            / max(wm - ws, 1e-9), 1)
+        stress["streams_8x12_single_call_rtf"] = round(
             n_streams * sig_small / wm, 1)
         stress["streams_8x12_locked"] = int(np.asarray(jnp.sum(
             om.locked[:, -1].astype(jnp.float32))))
