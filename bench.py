@@ -53,6 +53,12 @@ import os  # noqa: E402
 # of HBM on the 8192-block large-run stage.
 BLOCKS_PER_STEP = int(os.environ.get("BENCH_K", "16"))
 
+if os.environ.get("BENCH_BF16"):
+    # bf16 matmul inputs (f32 accumulation) for the DFT correlation —
+    # trace-time flag, must be set before the first compile
+    from gps_sdr_tpu.ops import dft as _dftmod
+    _dftmod.BF16_MATMUL = True
+
 
 def force_f32(x) -> float:
     """Synchronize on a device value via an f32-safe scalar download
@@ -137,7 +143,7 @@ def main():
         cfg = cfg.replace(use_pallas_kernels=False, use_pallas_cheap=False)
         pallas_fallback = True
         run_track(blk_small, t_small)                 # compile
-    w_small = min(run_track(blk_small, t_small)[0] for _ in range(3))
+    w_small = min(run_track(blk_small, t_small)[0] for _ in range(5))
     blk_large = None
     while True:                   # worker-crash / HBM-exhaustion fallback
         try:
@@ -145,7 +151,7 @@ def main():
             force_f32(blk_large)
             run_track(blk_large, t_large)             # compile at this shape
             w_large, st2, outs2 = run_track(blk_large, t_large)
-            for _ in range(2):
+            for _ in range(4):
                 w2, st2, outs2 = run_track(blk_large, t_large)
                 w_large = min(w_large, w2)            # tunnel-noise floor
             break
@@ -226,8 +232,15 @@ def main():
         blk32l.delete()
         s32 = {k: np.asarray(v)
                for k, v in summarize_states(cfg32, st32b).items()}
-        stress["track_32ch_rtf"] = round(
-            (t32l - t_small) * cfg.block_sec / max(w32l - w32s, 1e-9), 1)
+        d32 = w32l - w32s
+        if d32 >= 0.005:
+            stress["track_32ch_rtf"] = round(
+                (t32l - t_small) * cfg.block_sec / d32, 1)
+        else:
+            # tunnel noise swallowed the size delta: report the
+            # latency-included large-call rate instead of a fiction
+            stress["track_32ch_rtf"] = round(
+                t32l * cfg.block_sec / w32l, 1)
         stress["track_32ch_rtf_single_call"] = round(sig_small / w32s, 1)
         stress["track_32ch_locked"] = int((s32["locked"] > 0.5).sum())
     except Exception as e:
@@ -280,9 +293,10 @@ def main():
         run_streams(bl)                                # compile large
         wm, om = run_streams(bl)
         wm = min(wm, run_streams(bl)[0])
+        dsm = wm - ws
         stress["streams_8x12_aggregate_rtf"] = round(
-            n_streams * (t_small - t_s4) * cfg.block_sec
-            / max(wm - ws, 1e-9), 1)
+            n_streams * (t_small - t_s4) * cfg.block_sec / dsm, 1) \
+            if dsm >= 0.005 else round(n_streams * sig_small / wm, 1)
         stress["streams_8x12_single_call_rtf"] = round(
             n_streams * sig_small / wm, 1)
         stress["streams_8x12_locked"] = int(np.asarray(jnp.sum(

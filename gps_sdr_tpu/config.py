@@ -97,13 +97,18 @@ class ReceiverConfig:
                                       # the heavy kernel (False = the
                                       # per-channel VPU formulation);
                                       # only read when use_pallas_kernels
-    blocks_per_step: int = 1        # tracking blocks fused per scan step
+    blocks_per_step: int = 8        # tracking blocks fused per scan step
                                     # (1 = per-block PLL exactly like the
                                     # reference; >1 freezes the mixer NCO
                                     # within a step and applies PLL phase
                                     # corrections as rotations on the
                                     # per-ms means -- amortizes per-step
-                                    # overhead, see ops/tracking.py)
+                                    # overhead, see ops/tracking.py.
+                                    # K<=8 is validated bit-equivalent to
+                                    # the sequential loop and is the
+                                    # production default; non-divisible
+                                    # chunk tails fall back to a
+                                    # sequential tail scan automatically)
 
     # -- derived --
     @property

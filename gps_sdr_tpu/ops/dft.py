@@ -43,10 +43,36 @@ MAX_DIRECT = 1024       # largest single-matmul DFT; above this the
                         # default for every n above one MXU tile's worth
 
 
+BF16_MATMUL = False     # bf16 matmul inputs with f32 accumulation: the
+                        # MXU runs bf16 at ~4x its f32 rate and the DFT
+                        # sum accumulates in f32, so the only loss is
+                        # ~2^-8 relative input quantization (~0.4%) —
+                        # far below the correlator's 8-sigma peak gate
+                        # and the thermal-noise code-phase jitter.
+                        # Trace-time flag; set before first compile.
+
+
 def _use_matmul() -> bool:
     # trace-time decision: tests force the cpu backend (pocketfft wins
     # there); any accelerator gets the MXU path
     return FORCE_MATMUL or jax.default_backend() != "cpu"
+
+
+def _cmatmul(x: Array, w: Array) -> Array:
+    """Complex matmul over the last axis, optionally with bf16 inputs
+    and f32 accumulation (BF16_MATMUL)."""
+    if not BF16_MATMUL:
+        return jnp.matmul(x, w, preferred_element_type=jnp.complex64)
+    bf16, f32 = jnp.bfloat16, jnp.float32
+    xr = jnp.real(x).astype(bf16)
+    xi = jnp.imag(x).astype(bf16)
+    wr = jnp.real(w).astype(bf16)
+    wi = jnp.imag(w).astype(bf16)
+    yr = (jnp.matmul(xr, wr, preferred_element_type=f32)
+          - jnp.matmul(xi, wi, preferred_element_type=f32))
+    yi = (jnp.matmul(xr, wi, preferred_element_type=f32)
+          + jnp.matmul(xi, wr, preferred_element_type=f32))
+    return jax.lax.complex(yr, yi)
 
 
 def _factor2(n: int) -> tuple[int, int]:
@@ -73,20 +99,19 @@ def _dft_matmul(x: Array) -> Array:
     n = x.shape[-1]
     if n <= MAX_DIRECT:
         w = jnp.asarray(_dft_matrix(n))
-        return jnp.matmul(x, w, preferred_element_type=jnp.complex64)
+        return _cmatmul(x, w)
     a, b = _factor2(n)
     lead = x.shape[:-1]
     # j = j2*a + j1  ->  view [.., j2, j1] = [.., b, a]
     xm = x.reshape(lead + (b, a))
     wb = jnp.asarray(_dft_matrix(b))
-    # DFT over j2 (axis -2): Y[k2, j1]
-    y = jnp.einsum("...ja,jk->...ka", xm, wb,
-                   preferred_element_type=jnp.complex64)
+    # DFT over j2 (axis -2): Y[k2, j1] — as a matmul over the last axis
+    y = jnp.swapaxes(_cmatmul(jnp.swapaxes(xm, -1, -2), wb), -1, -2)
     tw = jnp.asarray(_twiddles(a, b))          # [a, b] indexed [j1, k2]
     y = y * jnp.swapaxes(tw, 0, 1)             # [.., k2, j1]
     wa = jnp.asarray(_dft_matrix(a))
     # DFT over j1 (axis -1): X[k2, k1]; final index k = k1*b + k2
-    z = jnp.matmul(y, wa, preferred_element_type=jnp.complex64)
+    z = _cmatmul(y, wa)
     return jnp.swapaxes(z, -1, -2).reshape(lead + (n,))
 
 

@@ -137,8 +137,12 @@ def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
         carry_re, carry_im, carry_cnt = (new_carry_re, new_carry_im,
                                          new_carry_cnt)
 
-        # ---- rotate by accumulated phase corrections ----
-        cr, sr = jnp.cos(dphi), jnp.sin(dphi)
+        # ---- rotate by accumulated phase corrections + the virtual
+        # intra-step NCO retune (2*pi*df_sum*t ramp; the real NCO is
+        # frozen for the step — ops/tracking.py channel_step_k) ----
+        t_m = (starts + f32(0.5 * cs)) * f32(1.0 / cfg.sample_rate)
+        ang = dphi + f32(2 * np.pi) * df_sum * t_m
+        cr, sr = jnp.cos(ang), jnp.sin(ang)
         mr = means_re * cr + means_im * sr
         mi = means_im * cr - means_re * sr
         means_re, means_im = mr, mi
@@ -238,7 +242,9 @@ def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
         locked = jnp.where(
             (locked > 0) | (jnp.abs(phase_dev) < f32(
                 cfg.pll_lock_threshold)), 1.0, 0.0)
-        dphi = dphi + phase_offset
+        # virtual phase advance of the intra-step retune over this block
+        dphi = dphi + phase_offset \
+            + f32(2 * np.pi * cfg.ngps / cfg.sample_rate) * df_sum
         df_sum = df_sum + df
 
         outs_ref[b, 0:1, :] = amplitude
@@ -306,16 +312,7 @@ def cheap_stage_pallas(cfg: ReceiverConfig, k: int, states, heavy,
 
     dphi = nstate[14]
     df_sum = nstate[15]
-    from gps_sdr_tpu.ops.tracking import FLL_MIN_K, fll_step_df
-    df_step = df_sum
-    if k > FLL_MIN_K:
-        # step-boundary FLL from the per-block PLL tail offsets, exactly
-        # as the XLA cheap stage (ops/tracking.py fll_step_df + K LIMIT
-        # note); gated on locked-at-step-entry
-        off_seq = jnp.moveaxis(outs[:, 5], 0, 1)        # [C, k]
-        df_step = jnp.where(states.locked,
-                            fll_step_df(cfg, k, off_seq), df_sum)
-    new_freq = jnp.clip(states.freq + df_step, cfg.min_freq, cfg.max_freq)
+    new_freq = jnp.clip(states.freq + df_sum, cfg.min_freq, cfg.max_freq)
     new_phase = jnp.remainder(heavy.phase_end + dphi, f32(2 * np.pi))
     locked = nstate[8] > 0
     corr_q_last = outs[-1, 1]

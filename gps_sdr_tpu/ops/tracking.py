@@ -515,43 +515,16 @@ track_chunk = functools.partial(
 # Semantics match channel_step at K=1 and post-lock differ from the
 # sequential form only through the (sub-Hz) intra-step NCO mistuning.
 #
-# K LIMIT / FLL: beyond K~8 the per-block df loop alone is not enough —
-# its feedback latency lets a steady NCO mistuning hide inside the
-# per-block phase rotations (the df loop never sees the absorbed ramp)
-# and the frequency estimate parks a few Hz off true while still
-# tracking (measured: -12.7 Hz at K=32).  For K > 8 a step-boundary FLL
-# re-tunes the NCO instead: each block's PLL tail offset o_j measures
-# the residual per-block phase increment 2*pi*df*T directly, so a
-# least-squares line over the K offsets gives the mistuning AND its
-# drift; the NCO correction extrapolates the line to the middle of the
-# next step (drift feed-forward, replacing the reference's meanDF ring
-# in this regime, gpslib.py:1246-1253).  K <= 8 keeps the pure df loop
-# and is validated bit-equivalent to the sequential loop; K = 16/32 are
-# validated against the sequential loop's frequency/bits/code phases
-# (tests/test_tracking_batched.py).
+# NO K LIMIT: the VIRTUAL NCO RETUNE in the body below applies the df
+# already commanded within the step as a per-ms phase ramp on the
+# means, so each block's PLL/df loop sees the residual mistuning
+# exactly as the sequential loop's retuned NCO would — the frequency
+# estimate converges to the sequential loop's value (within 0.02 Hz
+# measured) at K = 8, 16, and 32, and decoded bits are identical
+# (tests/test_tracking_batched.py).  Without it, every block of a step
+# measures the SAME error against the frozen NCO and the summed
+# corrections overshoot by up to K x.
 # ---------------------------------------------------------------------------
-
-FLL_MIN_K = 8      # fused steps longer than this use the boundary FLL
-
-
-def fll_step_df(cfg: ReceiverConfig, k: int, off_seq: Array) -> Array:
-    """Step-boundary frequency correction from the K per-block PLL tail
-    offsets (last axis k).  Post-lock each offset is ~2*pi*df*t_blk, so
-    a least-squares line o_j = a + b*j measures the NCO mistuning and
-    its drift; extrapolating to the middle of the NEXT step (j = k +
-    (k-1)/2) zeroes the expected mean offset of that step.  Clipped to
-    the reference's 20 Hz/s slew limit over the k blocks
-    (gpslib.py:1226-1229)."""
-    t_blk = cfg.ngps / cfg.sample_rate
-    j = jnp.arange(k, dtype=jnp.float32)
-    jm = jnp.float32((k - 1) / 2.0)
-    om = jnp.mean(off_seq, axis=-1)
-    sjj = jnp.sum((j - jm) ** 2)
-    slope = jnp.sum((j - jm) * off_seq, axis=-1) / sjj
-    o_next = om + slope * jnp.float32(k)
-    df = o_next / jnp.float32(2 * np.pi * t_blk)
-    max_step = jnp.float32(k * cfg.pll_max_df_per_sec / cfg.no_sec)
-    return jnp.clip(df, -max_step, max_step)
 
 
 class HeavyOut(NamedTuple):
@@ -670,6 +643,9 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
     carry_cnt_in = jnp.where(erase, 0, state.carry_cnt)
 
     # ---- cheap per-block feedback (means -> edges -> PLL), scanned ----
+    t_blk = jnp.float32(cfg.ngps / cfg.sample_rate)
+    two_pi = jnp.float32(2 * np.pi)
+
     def body(carry, x):
         (dphi, carry_sum, carry_cnt, sign0, prev_sign, prev_signal,
          ms_time, std_dev, locked, df_sum, df_buf, df_cnt, df_idx,
@@ -679,8 +655,20 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
         means, starts, mask, n_valid, carry_sum, carry_cnt = \
             _means_from_sums(head, seg_sums, wipe_b, carry_sum,
                              carry_cnt, cfg)
-        rot = jax.lax.complex(jnp.cos(dphi), -jnp.sin(dphi))
-        means = means * rot
+        # VIRTUAL NCO RETUNE: the real NCO is frozen for the whole step,
+        # so every block would measure the SAME frequency error and the
+        # summed per-block df corrections overshoot by up to k x (a
+        # fresh channel 100 Hz off gets a -800 Hz step at k=8).  Apply
+        # the df already commanded this step (df_sum) as a per-ms phase
+        # ramp on the means — each block's PLL then sees the residual,
+        # exactly like the sequential loop's retuned NCO; dphi below
+        # accumulates the virtual phase advance to keep the real NCO
+        # phase-continuous at the step boundary.
+        t_m = (starts.astype(jnp.float32)
+               + jnp.float32(0.5 * cfg.code_samples)) \
+            / jnp.float32(cfg.sample_rate)
+        ang = dphi + two_pi * df_sum * t_m
+        means = means * jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
 
         corr_buf, corr_cnt, corr_idx, corr_q, corr_l = _corr_quality(
             found, corr_buf, corr_cnt, corr_idx, cfg)
@@ -700,14 +688,15 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
 
         df, phase_offset, locked, df_buf, df_cnt, df_idx = _pll(
             means, mask, n_valid, locked, df_buf, df_cnt, df_idx, cfg)
-        dphi = dphi + phase_offset
+        # virtual phase advance of the intra-step retune over this block
+        dphi = dphi + phase_offset + two_pi * df_sum * t_blk
         df_sum = df_sum + df
 
         carry = (dphi, carry_sum, carry_cnt, sign0, prev_sign, prev_signal,
                  ms_time, std_dev, locked, df_sum, df_buf, df_cnt, df_idx,
                  corr_buf, corr_cnt, corr_idx)
         return carry, (amplitude, corr_q, corr_l, locked, sign0,
-                       ems, est, evalid, phase_offset)
+                       ems, est, evalid)
 
     carry0 = (jnp.float32(0), carry_sum_in, carry_cnt_in, sign0_in,
               prev_sign_in, state.prev_signal, state.ms_time,
@@ -720,7 +709,7 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
      std_dev, locked, df_sum, df_buf, df_cnt, df_idx, corr_buf, corr_cnt,
      corr_idx) = carry
     (amp_seq, corr_q_seq, corr_l_seq, locked_seq, sign0_seq,
-     ems, est, evalid, off_seq) = outs
+     ems, est, evalid) = outs
 
     # The step's accumulated PLL correction dphi folds into the NCO phase
     # below, so the NEXT step's mixed samples arrive already de-rotated —
@@ -732,13 +721,7 @@ def channel_step_k(cfg: ReceiverConfig, k: int, state: ChannelState,
     # desyncs the 20 ms bit framing.
     carry_sum = carry_sum * jax.lax.complex(jnp.cos(dphi), -jnp.sin(dphi))
 
-    df_step = df_sum
-    if k > FLL_MIN_K:
-        # locked at step entry -> boundary FLL (see K LIMIT note above);
-        # pull-in before lock keeps the accumulated per-block df path
-        df_step = jnp.where(state.locked,
-                            fll_step_df(cfg, k, off_seq), df_sum)
-    new_freq = jnp.clip(state.freq + df_step, cfg.min_freq, cfg.max_freq)
+    new_freq = jnp.clip(state.freq + df_sum, cfg.min_freq, cfg.max_freq)
     new_phase = jnp.remainder(phase_end + dphi, jnp.float32(2 * np.pi))
     sweep_request = ((corr_cnt >= cfg.corr_hist_len)
                      & (corr_q_seq[-1] < cfg.min_corr_q) & state.active)
@@ -789,15 +772,33 @@ def track_chunk_batched_impl(cfg: ReceiverConfig, states: ChannelState,
     if k <= 1:
         return track_chunk_impl(cfg, states, blocks, stream_no0, codes,
                                 code_ffts)
+    t = blocks.shape[0]
+    if t % k:
+        # remainder tail (a partial final chunk or a skip-forced chunk
+        # boundary, runtime/receiver.py): fused steps over the divisible
+        # prefix, the K=1 sequential scan over the tail — shapes are
+        # static, so both programs live in the same jit
+        tm = t - t % k
+        if tm == 0:
+            st, outs = track_chunk_impl(cfg, states, blocks, stream_no0,
+                                        codes, code_ffts)
+            return st, jax.tree.map(
+                lambda x: x.astype(jnp.float32), outs)
+        st1, o1 = track_chunk_batched_impl(cfg, states, blocks[:tm],
+                                           stream_no0, codes, code_ffts)
+        st2, o2 = track_chunk_impl(cfg, st1, blocks[tm:],
+                                   jnp.asarray(stream_no0) + tm, codes,
+                                   code_ffts)
+        outs = jax.tree.map(
+            lambda a, b: jnp.concatenate(
+                [a, b.astype(jnp.float32)], axis=0), o1, o2)
+        return st2, outs
     if not (cfg.use_pallas_kernels and dsp.is_planar_input(blocks)):
         # planar f32[T, 2, ngps] feeds the Pallas heavy stage directly;
         # everything else converts to c64 (X64 emulation cost on TPU)
         blocks = as_complex(blocks)
     code_ffts = as_complex(code_ffts)
     stream0 = jnp.asarray(stream_no0).astype(jnp.int32)
-    t = blocks.shape[0]
-    if t % k:
-        raise ValueError(f"T={t} not divisible by blocks_per_step={k}")
     grouped = blocks.reshape((t // k, k) + blocks.shape[1:])
 
     if cfg.use_pallas_cheap:

@@ -198,8 +198,10 @@ class Receiver:
             stacked = jnp.asarray(to_f32_pairs(np.stack(chunk)))
         else:
             stacked = jnp.stack(chunk)
+        # the batched path handles non-divisible tails itself (fused
+        # steps over the divisible prefix + a sequential tail scan)
         track = (track_chunk_batched if cfg.blocks_per_step > 1
-                 and len(chunk) % cfg.blocks_per_step == 0 else track_chunk)
+                 else track_chunk)
         self.states, outs = track(cfg, self.states, stacked,
                                   jnp.float32(stream0),
                                   self._codes_dev, self._ffts_dev)

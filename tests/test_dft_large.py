@@ -62,3 +62,24 @@ def test_acquisition_at_16msps():
     assert abs(by_prn[4][3] - 5000) <= 1
     assert abs(by_prn[27][3] - 12000) <= 1
     assert abs(by_prn[4][2] - 2100.0) < cfg.step_freq
+
+
+@pytest.mark.parametrize("n", [1024, 2048])
+def test_dft_bf16_inputs_close(n):
+    """BF16_MATMUL quantizes matmul inputs to bf16 (f32 accumulation):
+    relative error must stay at the ~2^-8 input-quantization level."""
+    old = dftmod.BF16_MATMUL
+    dftmod.BF16_MATMUL = True
+    try:
+        rng = np.random.default_rng(n)
+        x = (rng.standard_normal((4, n))
+             + 1j * rng.standard_normal((4, n))).astype(np.complex64)
+        got = np.asarray(dftmod.dft(jnp.asarray(x)))
+    finally:
+        dftmod.BF16_MATMUL = old
+    ref = np.fft.fft(x, axis=-1)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-2
+    # and the flag restored path is exact again
+    got2 = np.asarray(dftmod.dft(jnp.asarray(x)))
+    assert np.abs(got2 - ref).max() / scale < 2e-4

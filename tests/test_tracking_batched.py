@@ -80,9 +80,10 @@ def test_k1_equals_sequential(stream):
 
 @pytest.mark.parametrize("k", [4, 8, 16, 32])
 def test_batched_tracks_like_sequential(stream, k):
-    """K <= 8: pure per-block df loop.  K = 16/32: step-boundary FLL +
-    per-block predicted wipeoff delays (ops/tracking.py fll_step_df,
-    predict_wipe_delays) — same lock, frequency, code phases, bits."""
+    """Any K: the virtual intra-step NCO retune + per-block predicted
+    wipeoff delays (ops/tracking.py channel_step_k, predict_wipe_delays)
+    keep the fused step sequential-equivalent — same lock, frequency,
+    code phases, and decoded bits at K = 4 through 32."""
     blocks = jnp.asarray(stream)
     n = stream.shape[0]
     st, codes, ffts = _states()
@@ -109,6 +110,32 @@ def test_batched_tracks_like_sequential(stream, k):
         m = min(len(a), len(b))
         assert m > 100
         assert (a[:m] == b[:m]).mean() > 0.99
+
+
+def test_batched_remainder_tail(stream):
+    """T not divisible by K: fused prefix + sequential tail must equal
+    one batched run over the full divisible stream state-for-state
+    (partial final chunks / skip-forced boundaries in the receiver)."""
+    k = 8
+    cfgk = CFG.replace(blocks_per_step=k)
+    blocks = jnp.asarray(stream)
+    t = 92                      # 11*8 + 4 tail
+    st, codes, ffts = _states()
+    st_ref, ref = track_chunk(CFG, st, blocks[:t], jnp.int32(1), codes,
+                              ffts)
+    st2, codes, ffts = _states()
+    st_got, got = track_chunk_batched(cfgk, st2, blocks[:t],
+                                      jnp.int32(1), codes, ffts)
+    assert np.asarray(got.code_phase).shape[0] == t
+    ro, go = outs_to_numpy(ref), outs_to_numpy(got)
+    # same lock and same frequency at the end; tail outputs present
+    np.testing.assert_array_equal(np.asarray(st_ref.locked),
+                                  np.asarray(st_got.locked))
+    np.testing.assert_allclose(np.asarray(st_ref.freq),
+                               np.asarray(st_got.freq), atol=1.0)
+    both = (ro.code_phase[-4:] >= 0) & (go.code_phase[-4:] >= 0)
+    np.testing.assert_allclose(ro.code_phase[-4:][both],
+                               go.code_phase[-4:][both], atol=0.2)
 
 
 def test_planar_input_equals_complex():
