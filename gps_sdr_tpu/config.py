@@ -88,11 +88,15 @@ class ReceiverConfig:
     sdr_freq_corr_ppm: float = 0.0  # oscillator correction, ppm
 
     # -- device scheduling --
-    use_pallas_kernels: bool = False  # Pallas mix+wipeoff kernel in the
-                                      # K-block heavy stage (TPU only)
-    use_pallas_cheap: bool = False    # Pallas kernel for the K-block
+    use_pallas_kernels: bool = None   # Pallas mix+wipeoff kernel in the
+                                      # K-block heavy stage (TPU only).
+                                      # None = auto: True iff the default
+                                      # backend is a TPU at construction
+                                      # (resolved in __post_init__)
+    use_pallas_cheap: bool = None     # Pallas kernel for the K-block
                                       # cheap feedback stage (PLL/edges/
-                                      # rings in one launch per step)
+                                      # rings in one launch per step);
+                                      # None = auto like above
     use_mxu_wipeoff: bool = True      # MXU-contraction formulation of
                                       # the heavy kernel (False = the
                                       # per-channel VPU formulation);
@@ -109,6 +113,20 @@ class ReceiverConfig:
                                     # production default; non-divisible
                                     # chunk tails fall back to a
                                     # sequential tail scan automatically)
+
+    def __post_init__(self):
+        # resolve the auto (None) Pallas flags by backend so a user on a
+        # TPU gets the fast path by default while CPU tests and
+        # explicit overrides are unaffected; jax import is deferred so
+        # constructing a config never initializes a backend unless auto
+        # resolution is actually needed
+        if self.use_pallas_kernels is None or self.use_pallas_cheap is None:
+            import jax
+            on_tpu = jax.default_backend() == "tpu"
+            if self.use_pallas_kernels is None:
+                object.__setattr__(self, "use_pallas_kernels", on_tpu)
+            if self.use_pallas_cheap is None:
+                object.__setattr__(self, "use_pallas_cheap", on_tpu)
 
     # -- derived --
     @property

@@ -238,7 +238,12 @@ def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
         return jax.lax.dot_general(
             x, w, (((1,), (1,)), ((), ())),
             preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST)
+            # bf16 single-pass: the wipeoff sums accumulate in f32 and
+            # the bf16 input rounding adds ~0.6% of the THERMAL noise
+            # (products are unit-scale samples x +-1 code); HIGHEST's
+            # 6-pass decomposition cost ~3.6 us/block of the ~21
+            # us/block step (measured by ablation on a v5e)
+            precision=jax.lax.Precision.DEFAULT)
 
     w1 = wt_ref[0:c, :]
     w2 = wt_ref[c:2 * c, :]
@@ -270,7 +275,7 @@ def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
     sums_ref[0, sl + 1:2 * sl, :] = seg_im
 
     hp = functools.partial(jnp.dot, preferred_element_type=f32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=jax.lax.Precision.DEFAULT)
     p_br = hp(g_ref[:, :], br)                            # [2C, cs]
     p_bi = hp(g_ref[:, :], bi)
     e2 = p_br[0:c] + p_bi[c:2 * c]
