@@ -47,11 +47,11 @@ from gps_sdr_tpu.ops.tracking import (init_channel_states,  # noqa: E402
 N_CHANNELS = 12
 import os  # noqa: E402
 
-# fused step size; K<=8 is the pure per-block df loop, K=16/32 add the
-# step-boundary FLL + predicted wipeoff delays (ops/tracking.py).
-# K=16 measured best on one v5e (1956x vs ~1900x at K=8); K=32 runs out
-# of HBM on the 8192-block large-run stage.
-BLOCKS_PER_STEP = int(os.environ.get("BENCH_K", "16"))
+# fused step size; any K is sequential-equivalent (virtual NCO retune,
+# ops/tracking.py). K=32 measured best on one v5e with bf16 wipeoff
+# matmuls (single-call 1980x vs 1713x at K=16: halves the scan-step +
+# pallas-call count).
+BLOCKS_PER_STEP = int(os.environ.get("BENCH_K", "32"))
 
 if os.environ.get("BENCH_BF16"):
     # bf16 matmul inputs (f32 accumulation) for the DFT correlation —
@@ -303,6 +303,44 @@ def main():
             om.locked[:, -1].astype(jnp.float32))))
     except Exception as e:
         stress["streams_8x12_aggregate_rtf"] = f"failed: {type(e).__name__}"
+    try:
+        # 8 ms position-fix epoch (the reference's N_CYC=8 "powerful
+        # computers" mode, gpsglob.py:122-124): 12 channels, two-size
+        # amortized rate like the headline
+        cfg8 = cfg.replace(n_cyc=8, corr_avg=4,
+                           blocks_per_step=min(BLOCKS_PER_STEP, 8))
+        synth8 = JaxSynth(cfg8, sats, noise_std=0.7, seed=4)
+        t8s, t8l = 512, 2048
+        blk8 = synth8.chunk_planar(0, t8l)
+        force_f32(blk8)
+        codes8, ffts8 = codes, ffts    # code tables are n_cyc-agnostic
+
+        def run8(blocks, t):
+            st = init_channel_states(cfg8, N_CHANNELS)
+            for i, s in enumerate(sats):
+                st = reset_channel(st, i, s.prn, s.doppler,
+                                   int(s.code_delay) % 2048, cfg8)
+            t0 = time.perf_counter()
+            st, o = track_chunk_batched(cfg8, st, blocks,
+                                        jnp.float32(1), codes8, ffts8)
+            force_f32(o.code_phase)
+            return time.perf_counter() - t0, st
+
+        run8(blk8[:t8s], t8s)
+        w8s = min(run8(blk8[:t8s], t8s)[0] for _ in range(2))
+        run8(blk8, t8l)
+        w8l, st8 = run8(blk8, t8l)
+        w8l = min(w8l, run8(blk8, t8l)[0])
+        s8 = {k2: np.asarray(v)
+              for k2, v in summarize_states(cfg8, st8).items()}
+        d8 = w8l - w8s
+        stress["track_ncyc8_rtf"] = round(
+            (t8l - t8s) * cfg8.block_sec / d8, 1) if d8 >= 0.005 \
+            else round(t8l * cfg8.block_sec / w8l, 1)
+        stress["track_ncyc8_locked"] = int((s8["locked"] > 0.5).sum())
+        blk8.delete()
+    except Exception as e:
+        stress["track_ncyc8_rtf"] = f"failed: {type(e).__name__}"
     try:
         cfg16 = ReceiverConfig(code_samples=16384, n_cyc=8, corr_avg=4,
                                sweep_corr_avg=2)
