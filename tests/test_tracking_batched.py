@@ -112,6 +112,29 @@ def test_batched_tracks_like_sequential(stream, k):
         assert (a[:m] == b[:m]).mean() > 0.99
 
 
+@pytest.mark.parametrize("k", [8, 32])
+def test_fresh_channel_pull_in(stream, k):
+    """A freshly reset channel with an acquisition-grid frequency error
+    (~100 Hz) must pull in like the sequential loop.  Regression: the
+    fused step froze the NCO for the whole step, every block measured
+    the SAME error, and the summed df corrections overshot Kx (-827 Hz
+    at K=8) — the virtual intra-step NCO retune fixes it."""
+    blocks = jnp.asarray(stream)[:64]
+    st, codes, ffts = _states()
+    # 100 Hz off true, like a 200 Hz acquisition grid would deliver
+    st = reset_channel(st, 0, SATS[0].prn, SATS[0].doppler + 100.0,
+                       int(SATS[0].code_delay), CFG)
+    cfgk = CFG.replace(blocks_per_step=k)
+    st2, got = track_chunk_batched(cfgk, st, blocks, jnp.int32(1),
+                                   codes, ffts)
+    go = outs_to_numpy(got)
+    # locked within the first second and frequency within 3 Hz of true
+    assert go.locked[40:, 0].all()
+    assert abs(float(np.asarray(st2.freq)[0]) - SATS[0].doppler) < 3.0
+    # the correlator never loses the peak for long
+    assert (go.code_phase[8:, 0] >= 0).mean() > 0.8
+
+
 def test_batched_remainder_tail(stream):
     """T not divisible by K: fused prefix + sequential tail must equal
     one batched run over the full divisible stream state-for-state
