@@ -315,7 +315,7 @@ def main():
         force_f32(blk8)
         codes8, ffts8 = codes, ffts    # code tables are n_cyc-agnostic
 
-        def run8(blocks, t):
+        def run8(blocks):
             st = init_channel_states(cfg8, N_CHANNELS)
             for i, s in enumerate(sats):
                 st = reset_channel(st, i, s.prn, s.doppler,
@@ -326,11 +326,14 @@ def main():
             force_f32(o.code_phase)
             return time.perf_counter() - t0, st
 
-        run8(blk8[:t8s], t8s)
-        w8s = min(run8(blk8[:t8s], t8s)[0] for _ in range(2))
-        run8(blk8, t8l)
-        w8l, st8 = run8(blk8, t8l)
-        w8l = min(w8l, run8(blk8, t8l)[0])
+        try:
+            run8(blk8[:t8s])
+            w8s = min(run8(blk8[:t8s])[0] for _ in range(2))
+            run8(blk8)
+            w8l, st8 = run8(blk8)
+            w8l = min(w8l, run8(blk8)[0])
+        finally:
+            blk8.delete()
         s8 = {k2: np.asarray(v)
               for k2, v in summarize_states(cfg8, st8).items()}
         d8 = w8l - w8s
@@ -338,7 +341,6 @@ def main():
             (t8l - t8s) * cfg8.block_sec / d8, 1) if d8 >= 0.005 \
             else round(t8l * cfg8.block_sec / w8l, 1)
         stress["track_ncyc8_locked"] = int((s8["locked"] > 0.5).sum())
-        blk8.delete()
     except Exception as e:
         stress["track_ncyc8_rtf"] = f"failed: {type(e).__name__}"
     try:

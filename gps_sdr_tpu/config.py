@@ -88,15 +88,37 @@ class ReceiverConfig:
     sdr_freq_corr_ppm: float = 0.0  # oscillator correction, ppm
 
     # -- device scheduling --
-    use_pallas_kernels: bool = None   # Pallas mix+wipeoff kernel in the
+    use_pallas_kernels: bool | None = None
+                                      # Pallas mix+wipeoff kernel in the
                                       # K-block heavy stage (TPU only).
                                       # None = auto: True iff the default
-                                      # backend is a TPU at construction
-                                      # (resolved in __post_init__)
-    use_pallas_cheap: bool = None     # Pallas kernel for the K-block
+                                      # backend is a TPU, resolved at
+                                      # TRACE time (pallas_heavy_enabled
+                                      # below) so constructing a config
+                                      # never initializes a JAX backend
+                                      # — the axon plugin ignores
+                                      # JAX_PLATFORMS, so scripts must
+                                      # stay free to force CPU after
+                                      # building configs
+    use_pallas_cheap: bool | None = None
+                                      # Pallas kernel for the K-block
                                       # cheap feedback stage (PLL/edges/
                                       # rings in one launch per step);
                                       # None = auto like above
+
+    def pallas_heavy_enabled(self) -> bool:
+        """use_pallas_kernels with None resolved by the current default
+        backend (call at trace time only)."""
+        if self.use_pallas_kernels is None:
+            import jax
+            return jax.default_backend() == "tpu"
+        return self.use_pallas_kernels
+
+    def pallas_cheap_enabled(self) -> bool:
+        if self.use_pallas_cheap is None:
+            import jax
+            return jax.default_backend() == "tpu"
+        return self.use_pallas_cheap
     use_mxu_wipeoff: bool = True      # MXU-contraction formulation of
                                       # the heavy kernel (False = the
                                       # per-channel VPU formulation);
@@ -113,20 +135,6 @@ class ReceiverConfig:
                                     # production default; non-divisible
                                     # chunk tails fall back to a
                                     # sequential tail scan automatically)
-
-    def __post_init__(self):
-        # resolve the auto (None) Pallas flags by backend so a user on a
-        # TPU gets the fast path by default while CPU tests and
-        # explicit overrides are unaffected; jax import is deferred so
-        # constructing a config never initializes a backend unless auto
-        # resolution is actually needed
-        if self.use_pallas_kernels is None or self.use_pallas_cheap is None:
-            import jax
-            on_tpu = jax.default_backend() == "tpu"
-            if self.use_pallas_kernels is None:
-                object.__setattr__(self, "use_pallas_kernels", on_tpu)
-            if self.use_pallas_cheap is None:
-                object.__setattr__(self, "use_pallas_cheap", on_tpu)
 
     # -- derived --
     @property

@@ -22,7 +22,8 @@ State row map (NS = 16):
 (per-block wipeoff delays ride a separate [K, C] input; row 13 only
 seeds the layout)
 Output row map (outs[K, 8, C]):
-   0 amplitude 1 corr_q 2 corr_l 3 locked 4 sign0 (5-7 spare)
+   0 amplitude 1 corr_q 2 corr_l 3 locked 4 sign0
+   5 phase_offset (per-block PLL offset, diagnostic) (6-7 spare)
 """
 
 from __future__ import annotations

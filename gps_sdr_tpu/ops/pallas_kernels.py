@@ -50,6 +50,8 @@ def _mix_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
         s    = 2*pi*freq/fs  (rad/sample)
         base = carrier phase at the step's first sample, per channel
         snp  = (s * ngps) mod 2*pi  (per-block phase advance)
+        delay0 is UNUSED here (kept for layout); all wipeoff masks and
+        rolls come from the per-block delays_ref
     delays_ref: SMEM i32[n_ch, k]  per-block wipeoff delays (the code
                 Doppler drifts the boundary ~0.13 samples/block per
                 3 kHz of carrier Doppler — ops/tracking.py
@@ -185,7 +187,8 @@ def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
     are two MXU passes over the block (~1 M VPU ops/block).
 
     inputs (per grid step b):
-      params SMEM f32[C, 4] (s, phase0, snp, delay0)
+      params SMEM f32[C, 4] (s, phase0, snp, delay0 — delay0
+             unused, kept for layout; masks/rolls use delays_ref)
       delays SMEM i32[C, k]  per-block wipeoff delays
       rotrow VMEM f32[1, 2, C]    cos/sin(base_b) as rows
       rotcol VMEM f32[1, 2C, 1]   same, as columns

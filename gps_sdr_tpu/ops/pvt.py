@@ -167,7 +167,6 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
             s = np.concatenate([s, np.full((E, 1), height_dev)], axis=1)
         w = 1.0 / np.maximum(s, 1e-6) ** 2
 
-    omega_v = np.stack([-pos[:, 2], pos[:, 1], np.zeros(E)], axis=1)
     dp = np.zeros((E, 3, n))
     residual = np.full(E, np.inf)
     n_iter = np.zeros(E, np.int64)

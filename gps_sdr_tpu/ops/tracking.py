@@ -611,7 +611,7 @@ def heavy_stage(cfg: ReceiverConfig, k: int, states: ChannelState,
     kernel (ops/pallas_kernels.py) and only the DFT correlation stays
     in XLA (MXU matmuls).  `codes` (time domain) feeds the in-kernel
     delay roll; the XLA path rolls in the frequency domain instead."""
-    if cfg.use_pallas_kernels:
+    if cfg.pallas_heavy_enabled():
         from gps_sdr_tpu.ops.pallas_kernels import heavy_stage_pallas
         return heavy_stage_pallas(cfg, k, states, blocks, codes,
                                   code_ffts)
@@ -793,7 +793,7 @@ def track_chunk_batched_impl(cfg: ReceiverConfig, states: ChannelState,
             lambda a, b: jnp.concatenate(
                 [a, b.astype(jnp.float32)], axis=0), o1, o2)
         return st2, outs
-    if not (cfg.use_pallas_kernels and dsp.is_planar_input(blocks)):
+    if not (cfg.pallas_heavy_enabled() and dsp.is_planar_input(blocks)):
         # planar f32[T, 2, ngps] feeds the Pallas heavy stage directly;
         # everything else converts to c64 (X64 emulation cost on TPU)
         blocks = as_complex(blocks)
@@ -801,7 +801,7 @@ def track_chunk_batched_impl(cfg: ReceiverConfig, states: ChannelState,
     stream0 = jnp.asarray(stream_no0).astype(jnp.int32)
     grouped = blocks.reshape((t // k, k) + blocks.shape[1:])
 
-    if cfg.use_pallas_cheap:
+    if cfg.pallas_cheap_enabled():
         from gps_sdr_tpu.ops.pallas_cheap import cheap_stage_pallas
         cheap = functools.partial(cheap_stage_pallas, cfg, k)
     else:
@@ -859,18 +859,32 @@ _OUT_DTYPES = {
 }
 
 
+# f32 packing is integer-exact only below 2^24; edge_ms counts ms since
+# lock and exceeds that after ~4.66 h of continuous lock, so it crosses
+# as two planes (hi = ms >> 12, lo = ms & 0xfff — both far below 2^24)
+_EDGE_MS_SPLIT = 4096
+
+
 @jax.jit
 def pack_outs(outs: ChannelOut) -> Array:
-    """Pack a ChannelOut into ONE f32 buffer [T, C, F] for download.
+    """Pack a ChannelOut into ONE f32 buffer [..., C, F] for download.
 
     The deployment tunnel charges a fixed ~30 ms round trip PER ARRAY
     downloaded; fetching the 14 fields separately made the download the
     largest steady per-chunk cost of the streaming receiver (profiled:
-    ~0.45 s per 1 s chunk).  One packed transfer pays it once."""
+    ~0.45 s per 1 s chunk).  One packed transfer pays it once.  Fields
+    may carry extra leading batch axes (e.g. track_streams' stream
+    axis); everything left of the edge axis is treated as batch."""
     cols = []
     for name in ChannelOut._fields:
-        v = getattr(outs, name).astype(jnp.float32)
-        cols.append(v[..., None] if v.ndim == 2 else v)
+        v = getattr(outs, name)
+        if name == "edge_ms":
+            v = v.astype(jnp.int32)
+            cols.append((v // _EDGE_MS_SPLIT).astype(jnp.float32))
+            cols.append((v % _EDGE_MS_SPLIT).astype(jnp.float32))
+            continue
+        v = v.astype(jnp.float32)
+        cols.append(v if name.startswith("edge_") else v[..., None])
     return jnp.concatenate(cols, axis=-1)
 
 
@@ -879,6 +893,13 @@ def unpack_outs(buf: np.ndarray, n_edge: int) -> ChannelOut:
     host = {}
     off = 0
     for name in ChannelOut._fields:
+        if name == "edge_ms":
+            hi = buf[..., off:off + n_edge]
+            lo = buf[..., off + n_edge:off + 2 * n_edge]
+            off += 2 * n_edge
+            host[name] = (np.rint(hi).astype(np.int64) * _EDGE_MS_SPLIT
+                          + np.rint(lo).astype(np.int64)).astype(np.int32)
+            continue
         w = n_edge if name.startswith("edge_") else 1
         v = buf[..., off:off + w]
         off += w

@@ -23,6 +23,7 @@ boundaries and detected on-device (erase semantics).
 from __future__ import annotations
 
 from dataclasses import dataclass
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -325,9 +326,6 @@ class _DeviceChunk:
         if i == 0 or i == -1:   # sweep service uses single blocks
             return _download_block(self.blocks_dev, i)
         raise IndexError(i)
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnums=1)
