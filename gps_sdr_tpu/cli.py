@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                        help="evaluator host for --role recv")
         p.add_argument("--max-sec", type=float, default=None,
                        help="stop after this much stream time")
+        p.add_argument("--save-state", default=None, metavar="PATH",
+                       help="checkpoint the full receiver+evaluator "
+                            "state at exit (runtime/checkpoint.py)")
+        p.add_argument("--resume-state", default=None, metavar="PATH",
+                       help="resume from a --save-state checkpoint "
+                            "(continues mid-stream: locked channels, "
+                            "bit framing, and time references intact)")
 
     p = sub.add_parser("replay", help="replay a recorded IQ capture")
     p.add_argument("path")
@@ -232,9 +239,15 @@ def run_in_process(args, cfg) -> int:
     """Default single-process topology via Session."""
     from gps_sdr_tpu.runtime.session import Session
 
-    session = Session(cfg, ephem_cache_path=args.ephem_cache,
-                      record_epochs_to=args.record_epochs,
-                      reporter=make_reporter(args))
+    if args.resume_state:
+        from gps_sdr_tpu.runtime.checkpoint import load_session
+        session = load_session(args.resume_state,
+                               reporter=make_reporter(args))
+        session.record_epochs_to = args.record_epochs
+    else:
+        session = Session(cfg, ephem_cache_path=args.ephem_cache,
+                          record_epochs_to=args.record_epochs,
+                          reporter=make_reporter(args))
     if args.mode == "epochs":
         from gps_sdr_tpu.utils.io import load_epoch_records
         summary = session.run_epoch_records(load_epoch_records(args.path))
@@ -246,6 +259,10 @@ def run_in_process(args, cfg) -> int:
             * cfg.block_sec
         print(f"processed {sec:.1f} s of stream in {wall:.1f} s "
               f"({sec / max(wall, 1e-9):.1f}x realtime)")
+    if args.save_state:
+        from gps_sdr_tpu.runtime.checkpoint import save_session
+        save_session(session, args.save_state)
+        print(f"checkpoint saved to {args.save_state}")
     if args.out or args.ephem_cache:
         _save_outputs(args, cfg, session.evaluator)
     if args.record_epochs:

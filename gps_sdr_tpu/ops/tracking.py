@@ -921,6 +921,65 @@ def outs_to_numpy(outs: ChannelOut) -> ChannelOut:
     return unpack_outs(np.asarray(pack_outs(outs)), n_edge)
 
 
+# ChannelState leaf dtypes (for the f32-safe checkpoint pack below)
+_STATE_DTYPES = {
+    "prn": jnp.int32, "active": bool, "freq": jnp.float32,
+    "phase": jnp.float32, "delay": jnp.int32, "locked": bool,
+    "ms_time": jnp.int32, "std_dev": jnp.float32,
+    "prev_stream": jnp.int32, "prev_signal": jnp.float32,
+    "sign0": jnp.int8, "prev_sign": jnp.int8,
+    "carry_sum": jnp.complex64, "carry_cnt": jnp.int32,
+    "df_buf": jnp.float32, "df_cnt": jnp.int32, "df_idx": jnp.int32,
+    "corr_buf": jnp.int8, "corr_cnt": jnp.int32, "corr_idx": jnp.int32,
+}
+# counters that can exceed f32's 2^24 integer-exact range on long runs
+# (ms_time after ~4.66 h of lock; prev_stream after ~6 days of stream)
+_STATE_SPLIT = {"ms_time", "prev_stream"}
+_SPLIT_BASE = 4096
+
+
+@jax.jit
+def pack_states(states: ChannelState) -> dict:
+    """ChannelState -> dict of f32 arrays for an exact trip through the
+    f32-only transfer boundary (checkpointing; runtime/checkpoint.py).
+    Complex leaves split into re/im, large counters into hi/lo."""
+    out = {}
+    for name, v in states._asdict().items():
+        if v.dtype == jnp.complex64:
+            out[name + "__re"] = jnp.real(v)
+            out[name + "__im"] = jnp.imag(v)
+        elif name in _STATE_SPLIT:
+            v = v.astype(jnp.int32)
+            out[name + "__hi"] = (v // _SPLIT_BASE).astype(jnp.float32)
+            out[name + "__lo"] = (v % _SPLIT_BASE).astype(jnp.float32)
+        else:
+            out[name] = v.astype(jnp.float32)
+    return out
+
+
+@jax.jit
+def unpack_states(tree: dict) -> ChannelState:
+    """Inverse of pack_states (accepts jnp or np f32 arrays)."""
+    fields = {}
+    for name, dt in _STATE_DTYPES.items():
+        if dt == jnp.complex64:
+            fields[name] = jax.lax.complex(
+                jnp.asarray(tree[name + "__re"]),
+                jnp.asarray(tree[name + "__im"]))
+        elif name in _STATE_SPLIT:
+            hi = jnp.round(jnp.asarray(tree[name + "__hi"]))
+            lo = jnp.round(jnp.asarray(tree[name + "__lo"]))
+            fields[name] = (hi.astype(jnp.int32) * _SPLIT_BASE
+                            + lo.astype(jnp.int32))
+        elif dt is bool:
+            fields[name] = jnp.asarray(tree[name]) > 0.5
+        elif dt == jnp.float32:
+            fields[name] = jnp.asarray(tree[name])
+        else:
+            fields[name] = jnp.round(jnp.asarray(tree[name])).astype(dt)
+    return ChannelState(**fields)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def summarize_states(cfg: ReceiverConfig, states: ChannelState) -> dict:
     """f32 view of the per-channel state for host-side policy/reporting

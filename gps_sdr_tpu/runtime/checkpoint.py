@@ -1,0 +1,89 @@
+"""Mid-run receiver checkpoint / resume.
+
+The reference has NO mid-run DSP-state checkpointing (SURVEY.md section
+5: its only resume mechanisms are the 2 h ephemeris JSON cache, the
+receiver-output pickle replay, and the START_STREAM file offset) — a
+restarted reference receiver re-acquires from cold and waits ~30 s per
+satellite for fresh ephemerides.  Here the whole tracking state is an
+explicit pytree, so checkpointing is one packed f32 download
+(ops/tracking.py pack_states — the deployment tunnel transfers only
+f32; complex splits into re/im, long counters into hi/lo planes) plus
+a pickle of the small host-side objects:
+
+  device  ChannelState           (PLL/NCO, code phase, decode carries,
+                                  quality rings — everything the scan
+                                  threads between chunks)
+  host    SlotTable, NavDecoders, ReceiverStatus, corr_quality
+  host    Evaluator              (pseudorange engines, ephemerides,
+                                  time references, positions, stats)
+
+`save_session` / `load_session` round-trip a whole Session: a resumed
+receiver continues mid-stream with locked channels, bit framing, and
+pseudorange time references intact (tests/test_checkpoint.py pins
+epoch-for-epoch equality against an uninterrupted run).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def save_session(session, path: str) -> None:
+    """Checkpoint a Session (receiver device+host state and evaluator)
+    to `path` (a single pickle file; numpy arrays inline)."""
+    from gps_sdr_tpu.ops.tracking import pack_states
+
+    rec = session.receiver
+    states_f32 = {k: np.asarray(v)
+                  for k, v in pack_states(rec.states).items()}
+    payload = {
+        "version": FORMAT_VERSION,
+        "cfg": rec.cfg,
+        "states_f32": states_f32,
+        "slot_prn": list(rec.slots.slot_prn),
+        "decoders": rec.decoders,
+        "status": rec.status,
+        "corr_quality": dict(rec.corr_quality),
+        "sweep_all": rec.sweep_all,
+        "codes": rec._codes,
+        "ffts": rec._ffts,
+        "evaluator": session.evaluator,
+        "summaries": list(session.summaries),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_session(path: str, reporter=None):
+    """Rebuild a Session from a checkpoint; tracking resumes exactly
+    where `save_session` left off."""
+    from gps_sdr_tpu.ops.tracking import to_f32_pairs, unpack_states
+    from gps_sdr_tpu.runtime.session import Session
+
+    with open(path, "rb") as f:
+        p = pickle.load(f)
+    if p["version"] != FORMAT_VERSION:
+        raise ValueError(f"unknown checkpoint version {p['version']}")
+
+    import jax.numpy as jnp
+
+    session = Session(p["cfg"], reporter=reporter)
+    rec = session.receiver
+    rec.states = unpack_states(
+        {k: jnp.asarray(v) for k, v in p["states_f32"].items()})
+    rec.slots.slot_prn = list(p["slot_prn"])
+    rec.decoders = p["decoders"]
+    rec.status = p["status"]
+    rec.corr_quality = p["corr_quality"]
+    rec.sweep_all = p["sweep_all"]
+    rec._codes = p["codes"]
+    rec._ffts = p["ffts"]
+    rec._codes_dev = jnp.asarray(rec._codes)
+    rec._ffts_dev = jnp.asarray(to_f32_pairs(rec._ffts))
+    session.evaluator = p["evaluator"]
+    session.summaries = list(p["summaries"])
+    return session

@@ -1,0 +1,135 @@
+"""Mid-run checkpoint/resume (runtime/checkpoint.py).
+
+A resumed session must continue EXACTLY where the saved one left off:
+same tracking state (pack_states round trip is exact), same epochs,
+same decoded frames.  The reference has no equivalent — a restart
+re-acquires cold and re-collects ephemerides (SURVEY.md section 5)."""
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+
+from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.models.simulator import SatSignal, random_bits, synth_stream
+from gps_sdr_tpu.ops.tracking import (init_channel_states, pack_states,
+                                      reset_channel, unpack_states)
+from gps_sdr_tpu.runtime.checkpoint import load_session, save_session
+from gps_sdr_tpu.runtime.session import Session
+from tests.conftest import cached_synth
+
+CFG = ReceiverConfig(max_sat=2)
+SATS = [
+    SatSignal(prn=5, doppler=1234.0, code_delay=300.25,
+              nav_bits=random_bits(128, seed=5)),
+    SatSignal(prn=21, doppler=-3100.0, code_delay=777.0,
+              nav_bits=random_bits(128, seed=21)),
+]
+
+
+def _stream():
+    return cached_synth(
+        "batched_track_v1",
+        lambda: synth_stream(CFG, SATS, 96, noise_std=0.4, seed=11))
+
+
+def test_pack_states_roundtrip_exact():
+    st = init_channel_states(CFG, 2)
+    st = reset_channel(st, 0, 5, 1234.0, 300, CFG)
+    st = reset_channel(st, 1, 21, -3100.0, 777, CFG)
+    # exercise the hi/lo counter split beyond f32's 2^24 exact range
+    st = st._replace(
+        ms_time=jnp.asarray([40_000_000, 17_000_001], jnp.int32),
+        prev_stream=jnp.asarray([20_000_000, 3], jnp.int32),
+        carry_sum=jnp.asarray([1.5 - 2.25j, -0.125 + 7j], jnp.complex64))
+    back = unpack_states({k: jnp.asarray(np.asarray(v))
+                          for k, v in pack_states(st).items()})
+    for name in st._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(st, name)),
+                                      np.asarray(getattr(back, name)),
+                                      err_msg=name)
+        assert getattr(back, name).dtype == getattr(st, name).dtype, name
+
+
+def _epoch_key(e):
+    return (e.skipped_samples,
+            sorted((sat, tuple(map(tuple, lst)))
+                   for sat, lst in e.code_phases.items()),
+            [sorted(sf.items()) for sf in e.frames])
+
+
+def test_resume_continues_identically(tmp_path):
+    blocks = _stream()
+    path = str(tmp_path / "ckpt.pkl")
+
+    # uninterrupted reference run
+    ref_session = Session(CFG)
+    ref_epochs = list(ref_session.receiver.run(iter(blocks)))
+    for e in ref_epochs:
+        ref_session._consume(e)
+
+    # interrupted run: first chunk(s), checkpoint, resume, rest.
+    # the cold-start sweep consumes block 0, so feed blocks one by one
+    # and split after the first epoch is out.
+    s1 = Session(CFG)
+    it = iter(blocks)
+    gen = s1.receiver.run(it)
+    got_epochs = [next(gen)]
+    s1._consume(got_epochs[0])
+    gen.close()
+    consumed = s1.receiver.status.stream_no      # blocks eaten so far
+    save_session(s1, path)
+
+    s2 = load_session(path)
+    for e in s2.receiver.run(iter(blocks[consumed:])):
+        s2._consume(e)
+        got_epochs.append(e)
+
+    assert len(got_epochs) == len(ref_epochs)
+    for a, b in zip(ref_epochs, got_epochs):
+        assert _epoch_key(a) == _epoch_key(b)
+    # evaluator state carried across: same running results
+    assert (s2.evaluator.sat_results == ref_session.evaluator.sat_results)
+    assert s2.evaluator.positions == ref_session.evaluator.positions
+
+
+def test_cli_save_and_resume(tmp_path):
+    """CLI surface: replay --save-state, then --resume-state with
+    --start-stream continuing the same capture."""
+    import subprocess
+    import sys
+
+    from gps_sdr_tpu.runtime.sources import pack_iq
+
+    cfg = ReceiverConfig()
+    sat = SatSignal(prn=9, doppler=1500.0, code_delay=100.0,
+                    nav_bits=random_bits(64, seed=1))
+    blocks = 0.25 * cached_synth(
+        "recovery_skip_v1", lambda: synth_stream(
+            cfg, [sat], n_blocks=3 * cfg.no_sec + 1, noise_std=0.4))
+    cap = tmp_path / "cap.bin"
+    with open(cap, "wb") as f:
+        for b in blocks:
+            pack_iq(b).tofile(f)
+
+    def run(args):
+        return subprocess.run(
+            [sys.executable, "-m", "gps_sdr_tpu", *args],
+            capture_output=True, text=True, timeout=300,
+            env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+                 "JAX_PLATFORMS": "cpu", "PYTHONPATH": "."},
+            cwd="/root/repo")
+
+    ck = str(tmp_path / "state.pkl")
+    r1 = run(["replay", str(cap), "--max-sat", "2", "--ui", "none",
+              "--max-sec", "2.0", "--save-state", ck])
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    assert "checkpoint saved" in r1.stdout
+
+    # resume: skip what the first run consumed (2 s + the sweep block)
+    skip = int(2.0 / cfg.block_sec) + 1
+    r2 = run(["replay", str(cap), "--max-sat", "2", "--ui", "headless",
+              "--start-stream", str(skip), "--resume-state", ck])
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    # the resumed run keeps tracking PRN 9 without a new cold sweep
+    assert "09" in r2.stdout
