@@ -172,6 +172,10 @@ def main():
     sig_large = t_large * cfg.block_sec
     rtf_raw = sig_large / w_large
     rtf_amortized = (sig_large - sig_small) / max(w_large - w_small, 1e-9)
+    # the headline chunks are done — free their ~4.6 GB of HBM so the
+    # stress extras (16 streams x 512 blocks is another ~4.3 GB) fit
+    blk_large.delete()
+    blk_small.delete()
 
     # --- stress configurations (BASELINE.md): wide grid, 32 channels,
     #     16 MS/s front end.  Best-effort extras; never fail the bench.
@@ -248,7 +252,7 @@ def main():
     try:
         # multi-stream serving: S independent receivers in one program
         from gps_sdr_tpu.ops.tracking import track_streams
-        n_streams = 8
+        n_streams = int(os.environ.get("BENCH_STREAMS", "8"))
         per = []
         for s_i in range(n_streams):
             prns_s = rng.choice(np.arange(2, 33), N_CHANNELS,
@@ -274,6 +278,11 @@ def main():
         bl = jnp.stack([p[1] for p in per])
         cd = jnp.stack([p[2] for p in per])
         ff = jnp.stack([p[3] for p in per])
+        # free the per-stream source chunks: the stacked copy `bl` is
+        # another n_streams x 270 MB of HBM
+        for p in per:
+            p[1].delete()
+        per = [(p[0], None, p[2], p[3]) for p in per]
         t_s4 = t_small // 4
         bl_s = bl[:, :t_s4]
 
@@ -294,15 +303,17 @@ def main():
         wm, om = run_streams(bl)
         wm = min(wm, run_streams(bl)[0])
         dsm = wm - ws
-        stress["streams_8x12_aggregate_rtf"] = round(
+        skey = f"streams_{n_streams}x12"
+        stress[skey + "_aggregate_rtf"] = round(
             n_streams * (t_small - t_s4) * cfg.block_sec / dsm, 1) \
             if dsm >= 0.005 else round(n_streams * sig_small / wm, 1)
-        stress["streams_8x12_single_call_rtf"] = round(
+        stress[skey + "_single_call_rtf"] = round(
             n_streams * sig_small / wm, 1)
-        stress["streams_8x12_locked"] = int(np.asarray(jnp.sum(
+        stress[skey + "_locked"] = int(np.asarray(jnp.sum(
             om.locked[:, -1].astype(jnp.float32))))
+        bl.delete()
     except Exception as e:
-        stress["streams_8x12_aggregate_rtf"] = f"failed: {type(e).__name__}"
+        stress["streams_aggregate_rtf"] = f"failed: {type(e).__name__}"
     try:
         # 8 ms position-fix epoch (the reference's N_CYC=8 "powerful
         # computers" mode, gpsglob.py:122-124): 12 channels, two-size
