@@ -168,10 +168,20 @@ def main():
                   f"{t_large} blocks", file=sys.stderr)
             time.sleep(10)
 
+    # third size for a least-squares wall-vs-blocks slope: the
+    # two-point difference sits ~100 ms against +-60 ms tunnel spikes,
+    # so the slope over three sizes is the trustworthy rate
+    t_mid = t_large // 4
+    w_mid = min(run_track(blk_large[:t_mid], t_mid)[0] for _ in range(3))
+
     sig_small = t_small * cfg.block_sec
     sig_large = t_large * cfg.block_sec
     rtf_raw = sig_large / w_large
     rtf_amortized = (sig_large - sig_small) / max(w_large - w_small, 1e-9)
+    sizes = np.array([t_small, t_mid, t_large], np.float64)
+    walls = np.array([w_small, w_mid, w_large], np.float64)
+    sec_per_block = np.polyfit(sizes, walls, 1)[0]
+    rtf_slope = cfg.block_sec / max(sec_per_block, 1e-12)
     # the headline chunks are done — free their ~4.6 GB of HBM so the
     # stress extras (16 streams x 512 blocks is another ~4.3 GB) fit
     blk_large.delete()
@@ -389,14 +399,15 @@ def main():
 
     result = {
         "metric": "realtime_factor_12ch_track",
-        "value": round(rtf_amortized, 2),
+        "value": round(rtf_slope, 2),
         "unit": "x_realtime_2.048MSps",
-        "vs_baseline": round(rtf_amortized, 2),
+        "vs_baseline": round(rtf_slope, 2),
         "extra": {
+            "rtf_two_point_amortized": round(rtf_amortized, 2),
             "rtf_single_call_incl_latency": round(rtf_raw, 2),
             "acq_full_grid_wall_ms": round(acq_wall_ms, 1),
             "acq_prns_found": n_found,
-            "iq_msamples_per_sec": round(2.048 * rtf_amortized, 1),
+            "iq_msamples_per_sec": round(2.048 * rtf_slope, 1),
             "synth_rtf_device": round(sig_small / max(synth_wall, 1e-9), 1),
             "channels_locked": locked,
             "max_freq_err_hz": round(freq_err, 2),
