@@ -117,7 +117,13 @@ class ReceiverConfig:
     def pallas_cheap_enabled(self) -> bool:
         if self.use_pallas_cheap is None:
             import jax
-            return jax.default_backend() == "tpu"
+            # the cheap kernel keeps the correlation-quality ring in
+            # VMEM, padded to 128 lanes; at n_cyc=8 the 60 s window is
+            # 7680 entries (~3.9 MB per live copy across the unrolled
+            # blocks) and Mosaic's 16 MB scoped-vmem stack overflows —
+            # the XLA cheap stage handles those configs
+            return (jax.default_backend() == "tpu"
+                    and self.corr_hist_len <= 4096)
         return self.use_pallas_cheap
     use_mxu_wipeoff: bool = True      # MXU-contraction formulation of
                                       # the heavy kernel (False = the

@@ -78,6 +78,10 @@ def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
     tri_i = jax.lax.broadcasted_iota(jnp.int32, (sl - 1, sl - 1), 0)
     tri_j = jax.lax.broadcasted_iota(jnp.int32, (sl - 1, sl - 1), 1)
     tril = (tri_i >= tri_j).astype(f32)
+    # strictly-lower [sl, sl]: exclusive prefix counts for the edge scan
+    si = jax.lax.broadcasted_iota(jnp.int32, (sl, sl), 0)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (sl, sl), 1)
+    stril = (si > sj).astype(f32)
 
     def r1(ref, i):                      # one state row as [1, C]
         return ref[i:i + 1, :]
@@ -168,26 +172,55 @@ def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
         corr_l = jnp.sum(corrbuf * lmask, axis=0, keepdims=True) \
             / jnp.maximum(jnp.sum(lmask, axis=0, keepdims=True), 1.0)
 
-        # ---- bit-edge scan (_edge_scan), unrolled over sl slots ----
+        # ---- bit-edge scan, VECTORIZED over the sl slots ----
+        # same prefix formulation as ops/tracking.py _edge_scan (see its
+        # docstring for the equivalence argument): acceptance can only
+        # happen at sign-flip candidates, after any candidate the chain
+        # sign equals that slot's msign, so the chain state is a cummax
+        # over position-encoded candidate signs (log-doubling shifts —
+        # Mosaic has no scan primitive) and the exclusive do-count
+        # prefix is a strictly-lower-triangular matmul.
         min_edge_amp = f32(cfg.edge_sigma) * std_dev
-        for r in range(sl):
-            m_re_r = means_re[r:r + 1, :]
-            st_r = starts[r:r + 1, :]
-            do = (mask[r:r + 1, :] > 0) & (locked > 0)
-            msign = jnp.where(m_re_r >= 0, 1.0, -1.0)
-            first = sign0 == 0
-            is_edge = ((~first) & (msign != prev_sign)
-                       & (prev_sign * prev_sig > 0)
-                       & (jnp.abs(m_re_r - prev_sig) > min_edge_amp))
-            sign0 = jnp.where(do & first, msign, sign0)
-            prev_sign = jnp.where(do & (first | is_edge), msign,
-                                  prev_sign)
-            emit = (do & is_edge).astype(f32)
-            prev_sig = jnp.where(do, m_re_r, prev_sig)
-            edges_ref[b, r:r + 1, :] = ms_time
-            edges_ref[b, sl + r:sl + r + 1, :] = st_r
-            edges_ref[b, 2 * sl + r:2 * sl + r + 1, :] = emit
-            ms_time = ms_time + do.astype(f32)
+        do2 = ((mask > 0) & (locked > 0)).astype(f32)    # [sl, C]
+        n_do = jnp.sum(do2, axis=0, keepdims=True)       # [1, C]
+        has = n_do > 0
+        msign2 = jnp.where(means_re >= 0, 1.0, -1.0)
+        psig2 = jnp.concatenate([prev_sig, means_re[:-1]], 0)
+        spm2 = jnp.where(psig2 >= 0, 1.0, -1.0)
+        gate2 = jnp.abs(means_re - psig2) > min_edge_amp
+        chain = sign0 != 0                               # [1, C]
+        first_slot = (~chain) & (row_sl == 0)
+        cand = ((do2 > 0) & (msign2 != spm2) & (psig2 != 0) & gate2
+                & (~first_slot))
+        base = jnp.where(chain, prev_sign, msign2[0:1])  # [1, C]
+        key = jnp.where(cand, 2.0 * (row_sl + 1.0)
+                        + (msign2 > 0).astype(f32), 0.0)
+        cum = key
+        sh = 1
+        while sh < sl:
+            cum = jnp.maximum(cum, jnp.concatenate(
+                [jnp.zeros((sh, c), f32), cum[:-sh]], 0))
+            sh *= 2
+        cum_excl = jnp.concatenate([jnp.zeros((1, c), f32),
+                                    cum[:-1]], 0)
+        psign_pre = jnp.where(cum_excl > 0,
+                              jnp.where(jnp.mod(cum_excl, 2.0) == 1.0,
+                                        1.0, -1.0), base)
+        accept = cand & (psign_pre == spm2)
+        edges_ref[b, 0:sl, :] = ms_time + jnp.dot(
+            stril, do2, preferred_element_type=f32)
+        edges_ref[b, sl:2 * sl, :] = starts
+        edges_ref[b, 2 * sl:3 * sl, :] = accept.astype(f32)
+        ms_time = ms_time + n_do
+        sign0 = jnp.where(chain | ~has, sign0, msign2[0:1])
+        last_key = cum[sl - 1:sl]
+        psign_end = jnp.where(last_key > 0,
+                              jnp.where(jnp.mod(last_key, 2.0) == 1.0,
+                                        1.0, -1.0), base)
+        prev_sign = jnp.where(has, psign_end, prev_sign)
+        prev_sig = jnp.where(has, jnp.sum(
+            jnp.where(row_sl == n_do - 1.0, means_re, 0.0),
+            axis=0, keepdims=True), prev_sig)
 
         # ---- amplitude / sigma ----
         mag2 = means_re * means_re + means_im * means_im

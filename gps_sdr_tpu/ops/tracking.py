@@ -250,14 +250,11 @@ def _means_from_sums(head: Array, seg_sums: Array, delay: Array,
     return means, starts, mask, n_valid, new_carry_sum, new_carry_cnt
 
 
-def _edge_scan(means: Array, starts: Array, mask: Array, locked: Array,
-               min_edge_amp: Array, sign0, prev_sign, prev_signal, ms_time):
-    """Bit-edge event detection (decodeData inner loop, gpslib.py:1421-1434).
-
-    Sequential over the <=33 per-ms means of one block (a 33-step scalar
-    lax.scan per channel lane — negligible), because an accepted edge
-    changes the reference sign for subsequent ms.
-    """
+def _edge_scan_seq(means: Array, starts: Array, mask: Array, locked: Array,
+                   min_edge_amp: Array, sign0, prev_sign, prev_signal,
+                   ms_time):
+    """Reference sequential form of the edge detector (a 33-step scalar
+    lax.scan); kept as the equivalence oracle for _edge_scan below."""
     def body(carry, x):
         s0, psign, psig, mst = carry
         m, start, valid = x
@@ -280,6 +277,66 @@ def _edge_scan(means: Array, starts: Array, mask: Array, locked: Array,
         jax.lax.scan(body, (sign0, prev_sign, prev_signal, ms_time),
                      (means, starts, mask))
     return sign0, prev_sign, prev_signal, ms_time, ems, est, evalid
+
+
+def _edge_scan(means: Array, starts: Array, mask: Array, locked: Array,
+               min_edge_amp: Array, sign0, prev_sign, prev_signal, ms_time):
+    """Bit-edge event detection (decodeData inner loop, gpslib.py:1421-1434)
+    — VECTORIZED over the <=33 per-ms slots of one block.
+
+    The sequential chain (an accepted edge changes the reference sign
+    for subsequent ms) collapses to prefix ops because of an invariant:
+    an edge can only be accepted at a CANDIDATE slot — one where the
+    per-ms sign flips vs the previous slot's signal (msign[r] !=
+    sign(psig[r]), psig nonzero, amplitude gate) — and after ANY
+    candidate slot the chain's reference sign equals msign[r] whether
+    the edge was accepted (psign := msign[r]) or rejected (rejection
+    implies psign was already == msign[r]).  So the reference sign
+    before slot r is simply msign at the LAST candidate before r (a
+    cummax over position-encoded signs), and acceptance is
+    candidate[r] & (that sign == sign(psig[r])).  Equivalence to the
+    sequential form is pinned slot-for-slot by
+    tests/test_edge_scan_equiv.py.
+    """
+    sl = means.shape[0]
+    re = jnp.real(means)
+    do = mask & locked
+    doi = do.astype(jnp.int32)
+    n_do = jnp.sum(doi)
+    has = n_do > 0
+    msign = jnp.where(re >= 0, 1, -1).astype(jnp.int8)
+    psig = jnp.concatenate([prev_signal[None], re[:-1]])
+    spm = jnp.where(psig >= 0, 1, -1).astype(jnp.int8)
+    gate = jnp.abs(re - psig) > min_edge_amp
+    r = jnp.arange(sl, dtype=jnp.int32)
+    chain_started = sign0 != 0
+    first_slot = (~chain_started) & (r == 0)
+    cand = do & (msign != spm) & (psig != 0) & gate & (~first_slot)
+    # reference sign before slot r: msign at the last candidate < r,
+    # else the carried prev_sign (or msign[0] once the first do-slot
+    # seeded the chain)
+    base = jnp.where(chain_started, prev_sign, msign[0]).astype(jnp.int8)
+    key = jnp.where(cand, 2 * (r + 1) + (msign > 0), 0)
+    cum = jax.lax.cummax(key)
+    cum_excl = jnp.concatenate([jnp.zeros((1,), key.dtype), cum[:-1]])
+    psign_pre = jnp.where(cum_excl > 0,
+                          jnp.where(cum_excl % 2 == 1, 1, -1),
+                          base).astype(jnp.int8)
+    accept = cand & (psign_pre == spm)
+
+    cums = jnp.cumsum(doi)
+    ems = ms_time + cums - doi            # mst BEFORE each slot
+    est = starts
+    new_ms = ms_time + n_do
+    new_sign0 = jnp.where(chain_started | ~has, sign0, msign[0])
+    last_key = cum[-1]
+    psign_end = jnp.where(last_key > 0,
+                          jnp.where(last_key % 2 == 1, 1, -1),
+                          base).astype(jnp.int8)
+    new_psign = jnp.where(has, psign_end, prev_sign)
+    new_psig = jnp.where(
+        has, jnp.sum(jnp.where(r == n_do - 1, re, 0.0)), prev_signal)
+    return new_sign0, new_psign, new_psig, new_ms, ems, est, accept
 
 
 def _pll(means: Array, mask: Array, n_valid: Array, locked: Array,
