@@ -328,10 +328,7 @@ def main():
         # 8 ms position-fix epoch (the reference's N_CYC=8 "powerful
         # computers" mode, gpsglob.py:122-124): 12 channels, two-size
         # amortized rate like the headline
-        # Pallas heavy stage + XLA cheap stage: the cheap kernel's
-        # in-VMEM quality ring overflows Mosaic's scoped stack at
-        # n_cyc=8 (corr_hist_len 7680; see config.pallas_cheap_enabled)
-        cfg8 = cfg.replace(n_cyc=8, corr_avg=4, use_pallas_cheap=False,
+        cfg8 = cfg.replace(n_cyc=8, corr_avg=4,
                            blocks_per_step=min(BLOCKS_PER_STEP, 8))
         synth8 = JaxSynth(cfg8, sats, noise_std=0.7, seed=4)
         t8s, t8l = 512, 2048

@@ -118,12 +118,11 @@ class ReceiverConfig:
         if self.use_pallas_cheap is None:
             import jax
             # the cheap kernel keeps the correlation-quality ring in
-            # VMEM, padded to 128 lanes; at n_cyc=8 the 60 s window is
-            # 7680 entries (~3.9 MB per live copy across the unrolled
-            # blocks) and Mosaic's 16 MB scoped-vmem stack overflows —
-            # the XLA cheap stage handles those configs
+            # VMEM lane-major ([C, hist], ~0.5 MB at the n_cyc=8
+            # 7680-entry window); the cap guards untested giant-window
+            # configs against Mosaic's 16 MB scoped-vmem stack
             return (jax.default_backend() == "tpu"
-                    and self.corr_hist_len <= 4096)
+                    and self.corr_hist_len <= 8192)
         return self.use_pallas_cheap
     use_mxu_wipeoff: bool = True      # MXU-contraction formulation of
                                       # the heavy kernel (False = the

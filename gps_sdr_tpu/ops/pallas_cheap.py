@@ -60,7 +60,8 @@ def _atan(x):
 
 def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
                   wipe_ref, state_ref, dfbuf_ref, corrbuf_ref,
-                  outs_ref, edges_ref, nstate_ref, ndf_ref, ncorr_ref):
+                  outs_ref, edges_ref, nstate_ref, ndf_ref, ncorr_ref,
+                  qbuf_ref, lbuf_ref):
     cs = cfg.code_samples
     n_cyc = cfg.n_cyc
     sl = n_cyc + 1
@@ -73,8 +74,8 @@ def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
         .astype(f32)                                   # [sl, 1]
     row_df = jax.lax.broadcasted_iota(jnp.int32, (no_sec, 1), 0) \
         .astype(f32)
-    row_h = jax.lax.broadcasted_iota(jnp.int32, (hist, 1), 0) \
-        .astype(f32)
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (1, hist), 1) \
+        .astype(f32)                                   # [1, hist]
     tri_i = jax.lax.broadcasted_iota(jnp.int32, (sl - 1, sl - 1), 0)
     tri_j = jax.lax.broadcasted_iota(jnp.int32, (sl - 1, sl - 1), 1)
     tril = (tri_i >= tri_j).astype(f32)
@@ -98,8 +99,14 @@ def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
     locked = r1(state_ref, 8)
     df_cnt = r1(state_ref, 9)
     df_idx = r1(state_ref, 10)
-    corr_cnt = r1(state_ref, 11)
-    corr_idx = r1(state_ref, 12)
+    # corr ring counters live as [C, 1] columns inside the kernel: the
+    # ring itself is LANE-major [C, hist] so every per-block ring op
+    # touches a [C_pad, hist] tile instead of a [hist, 128-lane-padded]
+    # one (8x fewer vector cycles at 12 channels, and ~8x less scoped
+    # vmem — the [hist, C] layout overflowed Mosaic's 16 MB stack at
+    # n_cyc=8 where hist=7680)
+    cnt_c = jnp.transpose(r1(state_ref, 11))           # [C, 1]
+    idx_c = jnp.transpose(r1(state_ref, 12))
     delay = r1(state_ref, 13)
     dphi = r1(state_ref, 14)
     df_sum = r1(state_ref, 15)
@@ -152,25 +159,26 @@ def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
         mi = means_im * cr - means_re * sr
         means_re, means_im = mr, mi
 
-        # ---- correlation-quality ring (_corr_quality) ----
-        found = found_ref[b:b + 1, :]                   # [1, C] 0/1
-        cpq = jnp.where(found > 0, 1.0, -1.0)
-        pos = jnp.where(corr_cnt < hist, corr_cnt,
-                        jnp.mod(corr_idx, f32(hist)))
-        corrbuf = jnp.where(row_h == pos, cpq, corrbuf)
-        corr_cnt = jnp.minimum(corr_cnt + 1.0, f32(hist))
-        corr_idx = jnp.where(corr_cnt < hist, corr_idx,
-                             jnp.mod(corr_idx + 1.0, f32(hist)))
-        corr_q = jnp.sum(corrbuf, axis=0, keepdims=True) / corr_cnt
-        age = jnp.where(corr_cnt < hist, corr_cnt - 1.0 - row_h,
-                        jnp.mod(corr_idx - 1.0 - row_h, f32(hist)))
+        # ---- correlation-quality ring (_corr_quality), lane-major ----
+        cpq_c = jnp.where(found_ref[:, b:b + 1] > 0, 1.0, -1.0)  # [C,1]
+        pos_c = jnp.where(cnt_c < hist, cnt_c,
+                          jnp.mod(idx_c, f32(hist)))
+        corrbuf = jnp.where(col_h == pos_c, cpq_c, corrbuf)
+        cnt_c = jnp.minimum(cnt_c + 1.0, f32(hist))
+        idx_c = jnp.where(cnt_c < hist, idx_c,
+                          jnp.mod(idx_c + 1.0, f32(hist)))
+        q_c = jnp.sum(corrbuf, axis=1, keepdims=True) / cnt_c
+        age = jnp.where(cnt_c < hist, cnt_c - 1.0 - col_h,
+                        jnp.mod(idx_c - 1.0 - col_h, f32(hist)))
         # ages 0..min(cnt, no_sec)-1 form the 1 s window; when full the
         # ages of live entries are exactly 0..hist-1 so the window mask
         # is well defined
-        win = jnp.minimum(corr_cnt, f32(no_sec))
+        win = jnp.minimum(cnt_c, f32(no_sec))
         lmask = ((age >= 0) & (age < win)).astype(f32)
-        corr_l = jnp.sum(corrbuf * lmask, axis=0, keepdims=True) \
-            / jnp.maximum(jnp.sum(lmask, axis=0, keepdims=True), 1.0)
+        l_c = jnp.sum(corrbuf * lmask, axis=1, keepdims=True) \
+            / jnp.maximum(jnp.sum(lmask, axis=1, keepdims=True), 1.0)
+        qbuf_ref[:, b:b + 1] = q_c
+        lbuf_ref[:, b:b + 1] = l_c
 
         # ---- bit-edge scan, VECTORIZED over the sl slots ----
         # same prefix formulation as ops/tracking.py _edge_scan (see its
@@ -282,14 +290,18 @@ def _cheap_kernel(cfg: ReceiverConfig, k: int, sums_ref, found_ref,
         df_sum = df_sum + df
 
         outs_ref[b, 0:1, :] = amplitude
-        outs_ref[b, 1:2, :] = corr_q
-        outs_ref[b, 2:3, :] = corr_l
         outs_ref[b, 3:4, :] = locked
         outs_ref[b, 4:5, :] = sign0
         outs_ref[b, 5:6, :] = phase_offset
         outs_ref[b, 6:7, :] = jnp.zeros((1, c), f32)
         outs_ref[b, 7:8, :] = jnp.zeros((1, c), f32)
 
+    # corr q/l rode [C, k] scratches; outs rows 1/2 get them with one
+    # transpose each instead of two per block
+    outs_ref[:, 1, :] = jnp.transpose(qbuf_ref[:, :])
+    outs_ref[:, 2, :] = jnp.transpose(lbuf_ref[:, :])
+    corr_cnt = jnp.transpose(cnt_c)
+    corr_idx = jnp.transpose(idx_c)
     for i, v in enumerate([carry_re, carry_im, carry_cnt, sign0,
                            prev_sign, prev_sig, ms_time, std_dev, locked,
                            df_cnt, df_idx, corr_cnt, corr_idx, delay,
@@ -336,13 +348,12 @@ def cheap_stage_pallas(cfg: ReceiverConfig, k: int, states, heavy,
         jnp.moveaxis(jnp.real(segs), 2, 1),
         jnp.imag(head)[:, None, :],
         jnp.moveaxis(jnp.imag(segs), 2, 1)], axis=1)
-    found = jnp.moveaxis(
-        (heavy.delay_k >= 0).astype(f32), 0, 1)        # [k, C]
+    found_t = (heavy.delay_k >= 0).astype(f32)         # [C, k]
     dfbuf = jnp.moveaxis(states.df_buf, 0, 1)          # [no_sec, C]
-    corrbuf = jnp.moveaxis(states.corr_buf.astype(f32), 0, 1)
+    corrbuf = states.corr_buf.astype(f32)              # [C, hist]
 
     outs, edges, nstate, ndf, ncorr = cheap_stage_call(
-        cfg, k, sums_t, found, wipe_t, state0, dfbuf, corrbuf)
+        cfg, k, sums_t, found_t, wipe_t, state0, dfbuf, corrbuf)
 
     dphi = nstate[14]
     df_sum = nstate[15]
@@ -375,7 +386,7 @@ def cheap_stage_pallas(cfg: ReceiverConfig, k: int, states, heavy,
         df_buf=jnp.moveaxis(ndf, 0, 1),
         df_cnt=nstate[9].astype(jnp.int32),
         df_idx=nstate[10].astype(jnp.int32),
-        corr_buf=jnp.moveaxis(ncorr, 0, 1).astype(jnp.int8),
+        corr_buf=ncorr.astype(jnp.int8),
         corr_cnt=nstate[11].astype(jnp.int32),
         corr_idx=nstate[12].astype(jnp.int32))
     base = states._replace(
@@ -413,10 +424,11 @@ def cheap_stage_pallas(cfg: ReceiverConfig, k: int, states, heavy,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def cheap_stage_call(cfg: ReceiverConfig, k: int, sums_t, found, wipe_t,
+def cheap_stage_call(cfg: ReceiverConfig, k: int, sums_t, found_t, wipe_t,
                      state0, dfbuf, corrbuf):
-    """sums_t f32[K, 2*(n_cyc+1), C]; found f32[K, C]; wipe_t f32[K, C];
-    state0 f32[NS, C]; dfbuf f32[no_sec, C]; corrbuf f32[hist, C]."""
+    """sums_t f32[K, 2*(n_cyc+1), C]; found_t f32[C, K]; wipe_t
+    f32[K, C]; state0 f32[NS, C]; dfbuf f32[no_sec, C]; corrbuf
+    f32[C, hist] (LANE-major — see the ring comment in the kernel)."""
     sl = cfg.n_cyc + 1
     c = state0.shape[-1]
     kern = functools.partial(_cheap_kernel, cfg, k)
@@ -429,7 +441,11 @@ def cheap_stage_call(cfg: ReceiverConfig, k: int, sums_t, found, wipe_t,
             jax.ShapeDtypeStruct((k, 3 * sl, c), jnp.float32),
             jax.ShapeDtypeStruct((NS, c), jnp.float32),
             jax.ShapeDtypeStruct((cfg.no_sec, c), jnp.float32),
-            jax.ShapeDtypeStruct((cfg.corr_hist_len, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, cfg.corr_hist_len), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, k), jnp.float32),
+            pltpu.VMEM((c, k), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(sums_t, found, wipe_t, state0, dfbuf, corrbuf)
+    )(sums_t, found_t, wipe_t, state0, dfbuf, corrbuf)
