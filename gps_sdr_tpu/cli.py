@@ -244,10 +244,26 @@ def run_in_process(args, cfg) -> int:
         session = load_session(args.resume_state,
                                reporter=make_reporter(args))
         session.record_epochs_to = args.record_epochs
+        # the checkpoint's config governs the resumed run: the restored
+        # tracking state was compiled for its block framing, so the
+        # block source must use it too (CLI shape flags are ignored on
+        # resume; the evaluator already carries its ephemerides, so
+        # --ephem-cache only affects the exit-time save)
+        if cfg.n_cyc != session.cfg.n_cyc:
+            print(f"resume: using checkpoint n_cyc={session.cfg.n_cyc} "
+                  f"(ignoring --n-cyc {cfg.n_cyc})")
+        cfg = session.cfg
+        session.ephem_cache_path = args.ephem_cache
+        if args.mode == "replay" and args.start_stream == 0:
+            # continue the capture where the saved run stopped
+            args.start_stream = session.receiver.status.stream_no
+            print(f"resume: continuing at stream block "
+                  f"{args.start_stream}")
     else:
         session = Session(cfg, ephem_cache_path=args.ephem_cache,
                           record_epochs_to=args.record_epochs,
                           reporter=make_reporter(args))
+    n_prior_epochs = len(session.summaries)
     if args.mode == "epochs":
         from gps_sdr_tpu.utils.io import load_epoch_records
         summary = session.run_epoch_records(load_epoch_records(args.path))
@@ -255,7 +271,8 @@ def run_in_process(args, cfg) -> int:
         t0 = time.time()
         summary = session.run_source(block_source(args, cfg))
         wall = time.time() - t0
-        sec = session.evaluator and len(session.summaries) * cfg.no_sec \
+        sec = session.evaluator and \
+            (len(session.summaries) - n_prior_epochs) * cfg.no_sec \
             * cfg.block_sec
         print(f"processed {sec:.1f} s of stream in {wall:.1f} s "
               f"({sec / max(wall, 1e-9):.1f}x realtime)")
@@ -288,6 +305,13 @@ def run_in_process(args, cfg) -> int:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = make_config(args)
+    if args.mode == "eval" or args.role == "eval" or args.role == "recv":
+        if getattr(args, "save_state", None) \
+                or getattr(args, "resume_state", None):
+            print("error: --save-state/--resume-state are only "
+                  "supported in the single-process topology "
+                  "(--role both)", file=sys.stderr)
+            return 2
     if args.mode == "eval" or args.role == "eval":
         return run_eval_process(args, cfg)
     if args.role == "recv":

@@ -49,8 +49,6 @@ def save_session(session, path: str) -> None:
         "status": rec.status,
         "corr_quality": dict(rec.corr_quality),
         "sweep_all": rec.sweep_all,
-        "codes": rec._codes,
-        "ffts": rec._ffts,
         "evaluator": session.evaluator,
         "summaries": list(session.summaries),
     }
