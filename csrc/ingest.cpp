@@ -117,12 +117,21 @@ void gst_ring_destroy(void* ring) {
 // blocks as skipped (drop-oldest semantics, gpsrecv.py:81-87).
 void gst_ring_push(void* ring, const float* block) {
     auto* r = static_cast<GstRing*>(ring);
-    int64_t head = r->head.load(std::memory_order_relaxed);
-    const int64_t tail = r->tail.load(std::memory_order_acquire);
-    if (head - tail >= r->capacity) {
-        const int64_t dropped = head - tail;
-        r->tail.store(head, std::memory_order_release);
-        r->skipped.fetch_add(dropped, std::memory_order_relaxed);
+    const int64_t head = r->head.load(std::memory_order_relaxed);
+    int64_t tail = r->tail.load(std::memory_order_acquire);
+    while (head - tail >= r->capacity) {
+        // Drop-oldest must not race the consumer's tail advance: claim the
+        // whole backlog with a CAS.  A pop that loses the race re-validates
+        // its copy against tail and retries, so a block the producer is
+        // about to overwrite is never delivered torn.
+        if (r->tail.compare_exchange_weak(tail, head,
+                                          std::memory_order_acq_rel,
+                                          std::memory_order_acquire)) {
+            r->skipped.fetch_add(head - tail, std::memory_order_relaxed);
+            break;
+        }
+        // CAS failure reloaded tail (the consumer advanced it); if that
+        // freed a slot we fall out of the loop and write normally.
     }
     std::memcpy(r->data + (head % r->capacity) * r->block_floats, block,
                 sizeof(float) * r->block_floats);
@@ -133,13 +142,20 @@ void gst_ring_push(void* ring, const float* block) {
 // or -1 if the ring is empty.
 int64_t gst_ring_pop(void* ring, float* out) {
     auto* r = static_cast<GstRing*>(ring);
-    const int64_t tail = r->tail.load(std::memory_order_relaxed);
-    const int64_t head = r->head.load(std::memory_order_acquire);
-    if (tail >= head) return -1;
-    std::memcpy(out, r->data + (tail % r->capacity) * r->block_floats,
-                sizeof(float) * r->block_floats);
-    r->tail.store(tail + 1, std::memory_order_release);
-    return r->skipped.exchange(0, std::memory_order_relaxed);
+    for (;;) {
+        int64_t tail = r->tail.load(std::memory_order_acquire);
+        const int64_t head = r->head.load(std::memory_order_acquire);
+        if (tail >= head) return -1;
+        std::memcpy(out, r->data + (tail % r->capacity) * r->block_floats,
+                    sizeof(float) * r->block_floats);
+        // Publish the read only if the producer's drop-oldest didn't
+        // reclaim this slot mid-copy; otherwise the copy may be torn —
+        // discard it and retry on the post-drop backlog.
+        if (r->tail.compare_exchange_strong(tail, tail + 1,
+                                            std::memory_order_acq_rel,
+                                            std::memory_order_acquire))
+            return r->skipped.exchange(0, std::memory_order_relaxed);
+    }
 }
 
 int64_t gst_ring_size(void* ring) {

@@ -141,6 +141,21 @@ class ReceiverConfig:
                                     # chunk tails fall back to a
                                     # sequential tail scan automatically)
 
+    # -- device->host transport (run_device streaming) --
+    chunks_per_download: int = 8    # chunks whose packed outputs are
+                                    # downloaded in ONE tunnel transfer;
+                                    # the fixed per-transfer latency is
+                                    # paid once per batch.  Channel
+                                    # sweeps consequently take effect up
+                                    # to this many chunks later (vs one
+                                    # chunk at 1; the reference's sweep
+                                    # latency is ~5 blocks, gpsglob.py:41)
+    edge_rate_cap: int = 64         # downloaded bit-edge capacity per
+                                    # second per channel (true rate is
+                                    # <= 50/s at the 20 ms bit length;
+                                    # overflow drops extras and counts
+                                    # in ReceiverStatus.edge_overflows)
+
     # -- derived --
     @property
     def sample_rate(self) -> float:

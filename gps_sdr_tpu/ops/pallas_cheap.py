@@ -331,9 +331,15 @@ def cheap_stage_pallas(cfg: ReceiverConfig, k: int, states, heavy,
     carry_im = jnp.where(erase, 0.0, jnp.imag(states.carry_sum))
     carry_cnt = jnp.where(erase, 0.0, states.carry_cnt.astype(f32))
 
+    # ms_time is a monotone ms counter; as a raw f32 row it would lose
+    # integer precision past 2^24 ms (~4.7 h of lock).  The kernel only
+    # ever ADDS a small per-step count (<= k*(n_cyc+1), exact in f32),
+    # so carry it rebased to zero and add the int32 base back on exit —
+    # the in-kernel value stays tiny for any session length.
+    ms_base = states.ms_time.astype(jnp.int32)           # [C]
     state0 = jnp.stack([
         carry_re, carry_im, carry_cnt, sign0_in, psign_in,
-        states.prev_signal, states.ms_time.astype(f32), states.std_dev,
+        states.prev_signal, jnp.zeros((n_ch,), f32), states.std_dev,
         states.locked.astype(f32), states.df_cnt.astype(f32),
         states.df_idx.astype(f32), states.corr_cnt.astype(f32),
         states.corr_idx.astype(f32), heavy.wipe_delay[:, 0].astype(f32),
@@ -370,7 +376,7 @@ def cheap_stage_pallas(cfg: ReceiverConfig, k: int, states, heavy,
         phase=new_phase,
         delay=heavy.new_delay_k[:, -1],
         locked=locked,
-        ms_time=nstate[6].astype(jnp.int32),
+        ms_time=ms_base + nstate[6].astype(jnp.int32),
         std_dev=nstate[7],
         prev_stream=jnp.broadcast_to(s0 + k - 1, (n_ch,)),
         prev_signal=nstate[5],
@@ -417,7 +423,7 @@ def cheap_stage_pallas(cfg: ReceiverConfig, k: int, states, heavy,
         & (jnp.arange(k)[None, :] == k - 1),
         sign0=jnp.where(act, jnp.moveaxis(outs[:, 4], 0, 1),
                         0.0).astype(jnp.int8),
-        edge_ms=e3(0).astype(jnp.int32),
+        edge_ms=ms_base[:, None, None] + e3(0).astype(jnp.int32),
         edge_local=e3(sl).astype(jnp.int32),
         edge_valid=(e3(2 * sl) > 0) & act[:, :, None])
     return new_states, out

@@ -978,6 +978,112 @@ def outs_to_numpy(outs: ChannelOut) -> ChannelOut:
     return unpack_outs(np.asarray(pack_outs(outs)), n_edge)
 
 
+# --- compact transport (run_device streaming) -------------------------------
+#
+# The full pack_outs buffer is [T, C, ~143] f32 (~220 KB/s-chunk at 12
+# channels), and the deployment tunnel moves ~2 MB/s: the download was
+# the whole steady-state budget of the on-device receiver (~130 ms per
+# 1 s chunk against ~0.4 ms of device tracking).  But the host only
+# consumes per BLOCK: code_phase, sign0, erased; per CHUNK: the last
+# block's amplitude/corr_q/corr_l/freq/locked/norm_max/sweep_request;
+# and the SPARSE bit-edge events (<= 50/s/channel at the 20 ms bit
+# length, vs a [T, n_cyc+1] dense plane).  pack_outs_compact ships
+# exactly that (~20 KB/s-chunk): dense per-block triple + last-block
+# row + edge events compacted by an on-device lax.sort (no gathers).
+# unpack_outs_compact scatters the events back into dense planes on the
+# host, so the receiver's consume path is unchanged and bit-exact
+# unless a channel exceeds `cap` edges (counted, never silent).
+
+_LAST_FIELDS = ("amplitude", "corr_q", "corr_l", "freq", "locked",
+                "norm_max", "sweep_request")
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def pack_outs_compact(outs: ChannelOut, cap: int) -> Array:
+    """Pack one chunk's ChannelOut into a flat f32[L] transport buffer.
+
+    Layout: [T*C*3 per-block | C*7 last-block | C*cap*4 edges | C counts];
+    edge entries are (flat_pos, ms_hi, ms_lo, local) sorted by flat_pos
+    = block*(n_cyc+1)+slot with -1 sentinels past the valid count."""
+    t, c, sl = outs.edge_valid.shape
+    d = t * sl
+    cap = min(cap, d)
+    f32 = jnp.float32
+
+    blocky = jnp.stack([outs.code_phase.astype(f32),
+                        outs.sign0.astype(f32),
+                        outs.erased.astype(f32)], axis=-1)   # [T, C, 3]
+    last = jnp.stack([getattr(outs, n)[-1].astype(f32)
+                      for n in _LAST_FIELDS], axis=-1)       # [C, 7]
+
+    valid = jnp.moveaxis(outs.edge_valid, 1, 0).reshape(c, d)
+    ms = jnp.moveaxis(outs.edge_ms, 1, 0).reshape(c, d).astype(jnp.int32)
+    loc = jnp.moveaxis(outs.edge_local, 1, 0).reshape(c, d) \
+        .astype(jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(d, dtype=jnp.int32), (c, d))
+    key = jnp.where(valid, pos, d)
+    skey, sms, sloc = jax.lax.sort((key, ms, loc), dimension=-1,
+                                   num_keys=1)
+    skey, sms, sloc = skey[:, :cap], sms[:, :cap], sloc[:, :cap]
+    ok = skey < d
+    edges = jnp.stack([
+        jnp.where(ok, skey, -1).astype(f32),
+        jnp.where(ok, sms // _EDGE_MS_SPLIT, 0).astype(f32),
+        jnp.where(ok, sms % _EDGE_MS_SPLIT, 0).astype(f32),
+        jnp.where(ok, sloc, 0).astype(f32)], axis=-1)        # [C, cap, 4]
+    nv = jnp.sum(valid.astype(f32), axis=-1)                 # [C]
+    return jnp.concatenate([blocky.reshape(-1), last.reshape(-1),
+                            edges.reshape(-1), nv])
+
+
+def unpack_outs_compact(buf: np.ndarray, t: int, c: int, sl: int,
+                        cap: int) -> tuple[ChannelOut, np.ndarray]:
+    """Host inverse of pack_outs_compact: rebuild a dense ChannelOut
+    (dropped fields zero-filled; last-block fields broadcast over T —
+    the consume path only reads their [-1] row).  Returns (outs,
+    n_dropped_edges[c])."""
+    cap = min(cap, t * sl)
+    off = 0
+    blocky = buf[off:off + t * c * 3].reshape(t, c, 3)
+    off += t * c * 3
+    last = buf[off:off + c * 7].reshape(c, 7)
+    off += c * 7
+    edges = buf[off:off + c * cap * 4].reshape(c, cap, 4)
+    off += c * cap * 4
+    nv = np.rint(buf[off:off + c]).astype(np.int64)
+
+    edge_ms = np.zeros((t, c, sl), np.int32)
+    edge_local = np.zeros((t, c, sl), np.int32)
+    edge_valid = np.zeros((t, c, sl), bool)
+    pos = np.rint(edges[..., 0]).astype(np.int64)            # [C, cap]
+    ch, pe = np.nonzero(pos >= 0)
+    if ch.size:
+        fp = pos[ch, pe]
+        tb, es = fp // sl, fp % sl
+        edge_ms[tb, ch, es] = (
+            np.rint(edges[ch, pe, 1]).astype(np.int64) * _EDGE_MS_SPLIT
+            + np.rint(edges[ch, pe, 2]).astype(np.int64))
+        edge_local[tb, ch, es] = np.rint(edges[ch, pe, 3]).astype(np.int32)
+        edge_valid[tb, ch, es] = True
+
+    lastv = {n: np.broadcast_to(last[:, i], (t, c)) for i, n in
+             enumerate(_LAST_FIELDS)}
+    outs = ChannelOut(
+        code_phase=blocky[..., 0],
+        delay=np.zeros((t, c), np.int32),
+        norm_max=lastv["norm_max"],
+        amplitude=lastv["amplitude"],
+        corr_q=lastv["corr_q"],
+        corr_l=lastv["corr_l"],
+        freq=lastv["freq"],
+        locked=lastv["locked"] > 0.5,
+        erased=blocky[..., 2] > 0.5,
+        sweep_request=lastv["sweep_request"] > 0.5,
+        sign0=np.rint(blocky[..., 1]).astype(np.int8),
+        edge_ms=edge_ms, edge_local=edge_local, edge_valid=edge_valid)
+    return outs, np.maximum(nv - cap, 0)
+
+
 # ChannelState leaf dtypes (for the f32-safe checkpoint pack below)
 _STATE_DTYPES = {
     "prn": jnp.int32, "active": bool, "freq": jnp.float32,

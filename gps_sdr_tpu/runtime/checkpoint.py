@@ -78,8 +78,14 @@ def load_session(path: str, reporter=None):
     rec.status = p["status"]
     rec.corr_quality = p["corr_quality"]
     rec.sweep_all = p["sweep_all"]
-    rec._codes = p["codes"]
-    rec._ffts = p["ffts"]
+    # Slot code tables are pure functions of slot_prn — rebuild from the
+    # per-PRN tables instead of persisting ~max_sat*2048 complex values.
+    rec._codes[:] = 0
+    rec._ffts[:] = 0
+    for slot, prn in enumerate(rec.slots.slot_prn):
+        if prn:
+            rec._codes[slot] = rec._codes_tab[prn]
+            rec._ffts[slot] = rec._ffts_tab[prn]
     rec._codes_dev = jnp.asarray(rec._codes)
     rec._ffts_dev = jnp.asarray(to_f32_pairs(rec._ffts))
     session.evaluator = p["evaluator"]

@@ -34,9 +34,11 @@ from gps_sdr_tpu.models.navmsg import NavDecoder
 from gps_sdr_tpu.ops import cacode
 from gps_sdr_tpu.ops.acquisition import acquire_all
 from gps_sdr_tpu.ops.tracking import (ChannelOut, init_channel_states,
-                                      outs_to_numpy, reset_channel,
-                                      summarize_states, to_f32_pairs,
-                                      track_chunk, track_chunk_batched)
+                                      outs_to_numpy, pack_outs_compact,
+                                      reset_channel, summarize_states,
+                                      to_f32_pairs, track_chunk,
+                                      track_chunk_batched,
+                                      unpack_outs_compact)
 from gps_sdr_tpu.runtime.channelmgr import SlotTable, select_sats
 from gps_sdr_tpu.runtime.evaluator import EpochInput
 
@@ -47,6 +49,9 @@ class ReceiverStatus:
     sweeps_served: int = 0
     blocks_processed: int = 0
     skipped_blocks: int = 0
+    edge_overflows: int = 0     # edges dropped by the compact download
+                                # cap (cfg.edge_rate_cap); nonzero means
+                                # nav bits may be corrupted that second
 
 
 class Receiver:
@@ -213,7 +218,9 @@ class Receiver:
 
     def _consume_chunk(self, chunk, outs_dev, stream0: int, skipped: int):
         cfg = self.cfg
-        outs: ChannelOut = outs_to_numpy(outs_dev)
+        outs: ChannelOut = (outs_dev
+                            if isinstance(outs_dev.code_phase, np.ndarray)
+                            else outs_to_numpy(outs_dev))
 
         # code phases + nav bits per slot (vectorized host ingest)
         coph: dict = {}
@@ -279,16 +286,37 @@ class Receiver:
         the per-chunk ChannelOut summaries are downloaded.  Yields
         EpochInput once per chunk, exactly like run().
 
-        The loop runs one chunk ahead: chunk i+1's synthesis + tracking
-        are dispatched (async) before chunk i's outputs are downloaded,
-        so the tunnel round trip and the host-side evaluation overlap
-        with device work.  Channel sweeps consequently take effect one
-        chunk later than in run() — equivalent to one extra second of
-        the reference's sweep latency.
+        The loop pipelines cfg.chunks_per_download chunks: each chunk's
+        tracking is dispatched (async) and its ChannelOut reduced
+        on-device to the compact transport buffer (pack_outs_compact —
+        sparse edges + per-block code phases + last-block summaries);
+        one batched tunnel transfer then downloads the whole window.
+        The fixed per-transfer latency is paid once per window and the
+        payload shrinks ~10x vs the dense planes, which was the entire
+        steady-state budget of the streaming receiver.  Channel sweeps
+        consequently take effect up to chunks_per_download chunks later
+        than in run() (the reference's own sweep spans ~5 blocks,
+        gpsglob.py:41-44).
         """
         cfg = self.cfg
         t = chunk_blocks or cfg.no_sec
-        pending = None                  # (chunk, outs_dev, stream0)
+        cap = self._edge_cap(t)
+        pending = []                    # [(chunk, packed_dev, stream0)]
+
+        def drain():
+            if not pending:
+                return
+            bufs = _stack_bufs(*[p[1] for p in pending]) \
+                if len(pending) > 1 else pending[0][1][None]
+            host = np.asarray(bufs)     # ONE tunnel transfer per window
+            for (chunk, _, stream0), row in zip(pending, host):
+                outs, dropped = unpack_outs_compact(
+                    row, len(chunk), cfg.max_sat,
+                    self._edge_sl, cap)
+                self.status.edge_overflows += int(dropped.sum())
+                yield self._consume_chunk(chunk, outs, stream0, 0)[0]
+            pending.clear()
+
         for ci in range(n_chunks):
             if self._stop:
                 break
@@ -298,19 +326,27 @@ class Receiver:
                 # channel set changes states: drain the pipeline first.
                 # acquisition needs one block on the host (f32 pairs —
                 # the tunnel cannot download complex64)
-                if pending is not None:
-                    yield self._consume_chunk(*pending, 0)[0]
-                    pending = None
+                yield from drain()
                 blk0 = _download_block(blocks_dev, 0)
                 self._serve_sweep_all(blk0)
             chunk = _DeviceChunk(blocks_dev)
             self.status.stream_no = first
             outs_dev, stream0 = self._dispatch_chunk(chunk)
-            if pending is not None:
-                yield self._consume_chunk(*pending, 0)[0]
-            pending = (chunk, outs_dev, stream0)
-        if pending is not None:
-            yield self._consume_chunk(*pending, 0)[0]
+            pending.append((chunk, pack_outs_compact(outs_dev, cap),
+                            stream0))
+            if len(pending) >= max(1, cfg.chunks_per_download):
+                yield from drain()
+        yield from drain()
+
+    def _edge_cap(self, chunk_blocks: int) -> int:
+        """Compact-download edge capacity for a chunk of this length."""
+        cfg = self.cfg
+        return max(16, int(np.ceil(
+            chunk_blocks * cfg.block_sec * cfg.edge_rate_cap)))
+
+    @property
+    def _edge_sl(self) -> int:
+        return self.cfg.n_cyc + 1
 
 
 class _DeviceChunk:
@@ -326,6 +362,12 @@ class _DeviceChunk:
         if i == 0 or i == -1:   # sweep service uses single blocks
             return _download_block(self.blocks_dev, i)
         raise IndexError(i)
+
+
+@jax.jit
+def _stack_bufs(*bufs):
+    """Stack N compact transport buffers for one batched download."""
+    return jnp.stack(bufs)
 
 
 @functools.partial(jax.jit, static_argnums=1)

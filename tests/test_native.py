@@ -62,6 +62,44 @@ def test_native_ring_drop_oldest():
     ring.close()
 
 
+def test_native_ring_concurrent_overflow():
+    """Producer overruns a tiny ring while a consumer drains it.
+
+    Pins the CAS-based drop-oldest fix: every delivered block must be
+    internally consistent (never torn), delivered + skipped must account
+    for every push, and sequence numbers must be strictly increasing."""
+    import threading
+
+    n_push, cap, blk = 3000, 4, 64
+    ring = native.NativeRing(capacity=cap, block_samples=blk)
+    blocks = [np.full(blk, v + 0j, np.complex64) for v in range(n_push)]
+
+    def produce():
+        for b in blocks:
+            ring.push(b)
+
+    got, skips = [], 0
+    t = threading.Thread(target=produce)
+    t.start()
+    done = False
+    while not done:
+        done = not t.is_alive()
+        while True:                      # drain (again after join: no race)
+            r = ring.pop()
+            if r is None:
+                break
+            b, s = r
+            vals = np.unique(b.real)
+            assert vals.size == 1, f"torn block: {vals}"
+            got.append(int(vals[0]))
+            skips += s
+    t.join()
+    assert len(got) + skips == n_push
+    assert got == sorted(got) and len(set(got)) == len(got)
+    assert got[-1] == n_push - 1         # newest block always survives
+    ring.close()
+
+
 def test_make_buffer_prefers_native():
     buf = make_buffer(4, block_samples=16)
     assert type(buf).__name__ == "_RingAdapter"

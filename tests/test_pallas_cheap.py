@@ -68,6 +68,39 @@ def test_cheap_kernel_matches_xla():
                                   np.asarray(got_st.corr_buf))
 
 
+def test_large_ms_time_exact():
+    """ms_time past 2^24 must stay integer-exact through the Pallas path.
+
+    The kernel carries ms_time rebased to zero (an f32 row loses integer
+    precision past 2^24 ms ~ 4.7 h of lock) and the int32 base is added
+    back on exit — edge timestamps and the carried counter must match
+    the XLA path bit-for-bit (regression: ADVICE r1, hours-class serving
+    runs silently corrupted 20 ms bit framing)."""
+    base = 2 ** 25 + 3                     # odd offset: not f32-exact +1
+    _, blocks, codes, ffts = _setup(16)
+
+    def fresh():                           # state is donated per call
+        s = _setup(16)[0]
+        return s._replace(ms_time=jnp.full_like(s.ms_time, base))
+
+    ref_st, ref = track_chunk_batched(CFG, fresh(), blocks, jnp.int32(1),
+                                      codes, ffts)
+    cfgp = CFG.replace(use_pallas_cheap=True)
+    got_st, got = track_chunk_batched(cfgp, fresh(), blocks, jnp.int32(1),
+                                      codes, ffts)
+    ro, go = outs_to_numpy(ref), outs_to_numpy(got)
+    np.testing.assert_array_equal(ro.edge_valid, go.edge_valid)
+    np.testing.assert_array_equal(ro.edge_ms[ro.edge_valid],
+                                  go.edge_ms[go.edge_valid])
+    assert np.all(np.asarray(go.edge_ms)[np.asarray(go.edge_valid)]
+                  > base)                  # offsets survived the rebase
+    np.testing.assert_array_equal(np.asarray(ref_st.ms_time),
+                                  np.asarray(got_st.ms_time))
+    # the increment itself must be odd-exact, not rounded to even
+    assert np.all((np.asarray(got_st.ms_time) - base) % 2
+                  == np.asarray(ref_st.ms_time - base) % 2)
+
+
 def test_delay_wrap_zero_mean_no_nan():
     """Code-delay wrap through 0: wipe_delay=0 leaves carry_cnt=0, so the
     next block's slot-0 mean is exactly 0+0j.  The PLL's arctan(Q/I) must
