@@ -124,6 +124,24 @@ class Scenario:
     tow0: int                           # first subframe TOW in nav streams
     t_rx0: float                        # GPS time of receiver sample 0
     sats: list                          # [SatScenario]
+    # Receiver-oscillator error model (the reference's operating envelope
+    # is a +-2 ppm TCXO: common Doppler offset ~ ppm * L1 ~ +-3.1 kHz,
+    # drift up to ~2.6 Hz/s, and a sample-clock skew that makes EVERY
+    # satellite's code phase drift together at ~ppm*fs samples/s —
+    # reference README.md:204-217, drift feed-forward gpslib.py:1226-1229).
+    # One oscillator drives both the LO and the ADC, so a single
+    # fractional-error trajectory y(t) = 1e-6*(ppm + ppm_rate*t) models
+    # both: sample n lands at true GPS time  t_rx0 + n/fs - clock_err(n/fs)
+    # and the downconverted carrier gains the extra phase
+    # -2*pi*L1*clock_err.
+    osc_ppm: float = 0.0                # fractional offset at t=0 [ppm]
+    osc_ppm_rate: float = 0.0           # drift [ppm/s]
+
+    def clock_err(self, dt):
+        """Accumulated receiver-clock error [s] at nominal receiver
+        time dt [s] since sample 0 (positive = receiver clock fast)."""
+        return 1e-6 * (self.osc_ppm * dt
+                       + 0.5 * self.osc_ppm_rate * dt * dt)
 
     def sat_states(self, t: np.ndarray, sat: SatScenario):
         """(tau_prop, tau_sv) at GPS times t for one satellite, with
@@ -151,10 +169,13 @@ def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
                   week: int = 312, tow0: int = 11100,
                   rx_start_offset: float = 0.25,
                   duration_sec: float = 40.0,
-                  seed: int = 0) -> Scenario:
+                  seed: int = 0, osc_ppm: float = 0.0,
+                  osc_ppm_rate: float = 0.0) -> Scenario:
     """Build a scenario: receiver at `rec_geo` (default: the reference's
     golden-fix coordinates, README.md:185), `n_sats` visible satellites
-    with randomized ephemerides, nav streams covering `duration_sec`."""
+    with randomized ephemerides, nav streams covering `duration_sec`.
+    osc_ppm/osc_ppm_rate inject the receiver-TCXO error model (common
+    Doppler offset + code-clock skew; see Scenario)."""
     rng = np.random.default_rng(seed)
     rec_ecef = np.array(geo_to_ecef(*rec_geo))
     t_rx0 = orbits.tsv_of_tow(tow0) + rx_start_offset
@@ -168,7 +189,8 @@ def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
         sat.build_nav_stream(tow0, n_subframes)
         sats.append(sat)
     return Scenario(cfg=cfg, rec_geo=rec_geo, rec_ecef=rec_ecef, week=week,
-                    tow0=tow0, t_rx0=t_rx0, sats=sats)
+                    tow0=tow0, t_rx0=t_rx0, sats=sats,
+                    osc_ppm=osc_ppm, osc_ppm_rate=osc_ppm_rate)
 
 
 def synth_scenario_blocks(scn: Scenario, first_block: int, n_blocks: int,
@@ -185,10 +207,17 @@ def synth_scenario_blocks(scn: Scenario, first_block: int, n_blocks: int,
     fs = cfg.sample_rate
     n = n_blocks * cfg.ngps
     sample0 = first_block * cfg.ngps
-    t = scn.t_rx0 + (sample0 + np.arange(n + 1, dtype=np.float64)) / fs
+    # receiver-clock warp: sample k's true GPS time lags the nominal
+    # grid by the accumulated oscillator error (Scenario.clock_err) —
+    # this alone makes every satellite's code phase drift together at
+    # ~ppm*fs samples/s, the skew the evaluator's unwrap/slope logic
+    # must absorb
+    dt_nom = (sample0 + np.arange(n + 1, dtype=np.float64)) / fs
+    t = scn.t_rx0 + dt_nom - scn.clock_err(dt_nom)
     knot_step = cfg.code_samples                      # 1 ms
     knots = t[::knot_step]
     frac = (np.arange(n, dtype=np.float64) % knot_step) / knot_step
+    ce_s = scn.clock_err(dt_nom[:-1])                 # per-sample [n]
 
     out = np.zeros(n, dtype=np.complex128)
     for sat in scn.sats:
@@ -205,8 +234,11 @@ def synth_scenario_blocks(scn: Scenario, first_block: int, n_blocks: int,
         # (tau varies < 1.5e-4 s over a scenario, so f*dtau stays well
         # within float64 mod-1 precision)
         tau_ref = scn.sat_states(np.array([scn.t_rx0]), sat)[0][0]
+        # LO runs off the same oscillator: downconversion leaves the
+        # extra phase -2*pi*L1*clock_err on every satellite (the common
+        # Doppler offset, ~ -ppm*L1 Hz)
         dtau = tau - tau_ref
-        phase = -2.0 * np.pi * np.mod(L1_FREQ * dtau, 1.0)
+        phase = -2.0 * np.pi * np.mod(L1_FREQ * (dtau + ce_s), 1.0)
         # code chip + nav bit indexed by SV clock time
         ms = np.floor(tau_sv * 1000.0)
         chip_idx = np.floor((tau_sv * 1000.0 - ms)

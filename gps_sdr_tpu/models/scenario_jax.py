@@ -109,8 +109,12 @@ class DeviceScenarioSynth:
         fs, cs, n_cyc = cfg.sample_rate, cfg.code_samples, cfg.n_cyc
         n_iv = n_blocks * n_cyc
         sample0 = first_block * cfg.ngps
-        knots = scn.t_rx0 + (sample0
-                             + np.arange(n_iv + 1) * cs) / fs
+        # receiver-oscillator warp (Scenario.clock_err): knot times lag
+        # the nominal sample grid, and the LO term below adds the
+        # common carrier offset — mirrors the numpy oracle exactly
+        dt_nom = (sample0 + np.arange(n_iv + 1) * cs) / fs
+        ce_k = scn.clock_err(dt_nom)
+        knots = scn.t_rx0 + dt_nom - ce_k
         shape = (n_blocks, n_cyc, len(scn.sats))
         ph0 = np.empty(shape, np.float32)
         phr = np.empty(shape, np.float32)
@@ -122,8 +126,8 @@ class DeviceScenarioSynth:
         for si, sat in enumerate(scn.sats):
             tau_k, tau_sv_k = scn.sat_states(knots, sat)
             tau_ref = scn.sat_states(np.array([scn.t_rx0]), sat)[0][0]
-            # carrier: -2*pi*L1*(tau - tau_ref), phase continuous
-            cyc = L1_FREQ * (tau_k - tau_ref)
+            # carrier: -2*pi*L1*(tau - tau_ref + clock_err), continuous
+            cyc = L1_FREQ * (tau_k - tau_ref + ce_k)
             p0 = (-2.0 * np.pi) * np.mod(cyc[:-1], 1.0)
             pr = (-2.0 * np.pi) * (np.diff(cyc) / cs)
             # code: chips = tau_sv * 1023000 (mod 1023)

@@ -1002,17 +1002,22 @@ _LAST_FIELDS = ("amplitude", "corr_q", "corr_l", "freq", "locked",
 def pack_outs_compact(outs: ChannelOut, cap: int) -> Array:
     """Pack one chunk's ChannelOut into a flat f32[L] transport buffer.
 
-    Layout: [T*C*3 per-block | C*7 last-block | C*cap*4 edges | C counts];
-    edge entries are (flat_pos, ms_hi, ms_lo, local) sorted by flat_pos
-    = block*(n_cyc+1)+slot with -1 sentinels past the valid count."""
+    Layout: [T*C*2 per-block | C*7 last-block | C*2 ms base (hi/lo) |
+    C*cap*3 edges | C counts].  Per-block columns are (code_phase,
+    sign0+1 + 4*erased).  Edge entries are (flat_pos, ms - base, local)
+    sorted by flat_pos = block*(n_cyc+1)+slot with -1 sentinels past
+    the valid count; base is the channel's first edge ms, so the delta
+    is integer-exact in f32 for any chunk shorter than ~4.6 h while the
+    absolute counter crosses as a hi/lo pair."""
     t, c, sl = outs.edge_valid.shape
     d = t * sl
     cap = min(cap, d)
     f32 = jnp.float32
 
-    blocky = jnp.stack([outs.code_phase.astype(f32),
-                        outs.sign0.astype(f32),
-                        outs.erased.astype(f32)], axis=-1)   # [T, C, 3]
+    aux = (outs.sign0.astype(f32) + 1.0
+           + 4.0 * outs.erased.astype(f32))
+    blocky = jnp.stack([outs.code_phase.astype(f32), aux],
+                       axis=-1)                              # [T, C, 2]
     last = jnp.stack([getattr(outs, n)[-1].astype(f32)
                       for n in _LAST_FIELDS], axis=-1)       # [C, 7]
 
@@ -1026,14 +1031,16 @@ def pack_outs_compact(outs: ChannelOut, cap: int) -> Array:
                                    num_keys=1)
     skey, sms, sloc = skey[:, :cap], sms[:, :cap], sloc[:, :cap]
     ok = skey < d
+    base = sms[:, 0] * ok[:, 0].astype(jnp.int32)            # [C]
+    base_hi = (base // _EDGE_MS_SPLIT).astype(f32)
+    base_lo = (base % _EDGE_MS_SPLIT).astype(f32)
     edges = jnp.stack([
         jnp.where(ok, skey, -1).astype(f32),
-        jnp.where(ok, sms // _EDGE_MS_SPLIT, 0).astype(f32),
-        jnp.where(ok, sms % _EDGE_MS_SPLIT, 0).astype(f32),
-        jnp.where(ok, sloc, 0).astype(f32)], axis=-1)        # [C, cap, 4]
+        jnp.where(ok, sms - base[:, None], 0).astype(f32),
+        jnp.where(ok, sloc, 0).astype(f32)], axis=-1)        # [C, cap, 3]
     nv = jnp.sum(valid.astype(f32), axis=-1)                 # [C]
     return jnp.concatenate([blocky.reshape(-1), last.reshape(-1),
-                            edges.reshape(-1), nv])
+                            base_hi, base_lo, edges.reshape(-1), nv])
 
 
 def unpack_outs_compact(buf: np.ndarray, t: int, c: int, sl: int,
@@ -1044,12 +1051,15 @@ def unpack_outs_compact(buf: np.ndarray, t: int, c: int, sl: int,
     n_dropped_edges[c])."""
     cap = min(cap, t * sl)
     off = 0
-    blocky = buf[off:off + t * c * 3].reshape(t, c, 3)
-    off += t * c * 3
+    blocky = buf[off:off + t * c * 2].reshape(t, c, 2)
+    off += t * c * 2
     last = buf[off:off + c * 7].reshape(c, 7)
     off += c * 7
-    edges = buf[off:off + c * cap * 4].reshape(c, cap, 4)
-    off += c * cap * 4
+    base = (np.rint(buf[off:off + c]).astype(np.int64) * _EDGE_MS_SPLIT
+            + np.rint(buf[off + c:off + 2 * c]).astype(np.int64))
+    off += 2 * c
+    edges = buf[off:off + c * cap * 3].reshape(c, cap, 3)
+    off += c * cap * 3
     nv = np.rint(buf[off:off + c]).astype(np.int64)
 
     edge_ms = np.zeros((t, c, sl), np.int32)
@@ -1060,14 +1070,15 @@ def unpack_outs_compact(buf: np.ndarray, t: int, c: int, sl: int,
     if ch.size:
         fp = pos[ch, pe]
         tb, es = fp // sl, fp % sl
-        edge_ms[tb, ch, es] = (
-            np.rint(edges[ch, pe, 1]).astype(np.int64) * _EDGE_MS_SPLIT
-            + np.rint(edges[ch, pe, 2]).astype(np.int64))
-        edge_local[tb, ch, es] = np.rint(edges[ch, pe, 3]).astype(np.int32)
+        edge_ms[tb, ch, es] = (base[ch]
+                               + np.rint(edges[ch, pe, 1]).astype(np.int64)
+                               ).astype(np.int32)
+        edge_local[tb, ch, es] = np.rint(edges[ch, pe, 2]).astype(np.int32)
         edge_valid[tb, ch, es] = True
 
     lastv = {n: np.broadcast_to(last[:, i], (t, c)) for i, n in
              enumerate(_LAST_FIELDS)}
+    aux = np.rint(blocky[..., 1]).astype(np.int8)
     outs = ChannelOut(
         code_phase=blocky[..., 0],
         delay=np.zeros((t, c), np.int32),
@@ -1077,9 +1088,9 @@ def unpack_outs_compact(buf: np.ndarray, t: int, c: int, sl: int,
         corr_l=lastv["corr_l"],
         freq=lastv["freq"],
         locked=lastv["locked"] > 0.5,
-        erased=blocky[..., 2] > 0.5,
+        erased=aux >= 4,
         sweep_request=lastv["sweep_request"] > 0.5,
-        sign0=np.rint(blocky[..., 1]).astype(np.int8),
+        sign0=(aux % 4 - 1).astype(np.int8),
         edge_ms=edge_ms, edge_local=edge_local, edge_valid=edge_valid)
     return outs, np.maximum(nv - cap, 0)
 

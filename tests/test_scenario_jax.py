@@ -33,6 +33,37 @@ def test_chunk_offset_matches(scn):
     assert np.abs(got - ref).mean() < 2e-3
 
 
+def test_oscillator_model_matches_oracle():
+    """+-2 ppm TCXO model (common Doppler + code-clock skew): the device
+    linearized synth must track the warped-time numpy oracle."""
+    scn = make_scenario(CFG, n_sats=2, duration_sec=12.0, seed=4,
+                        osc_ppm=2.0, osc_ppm_rate=1.65e-3)
+    ref = synth_scenario_blocks(scn, 3, 2, noise_std=0.0)
+    dev = DeviceScenarioSynth(scn, noise_std=0.0)
+    got = np.asarray(dev.chunk(3, 2))
+    err = np.abs(got - ref)
+    assert np.quantile(err, 0.999) < 2e-2
+    assert err.mean() < 2e-3
+
+
+def test_oscillator_offsets_measured_doppler():
+    """A +2 ppm oscillator must shift every satellite's observed carrier
+    by ~ -2e-6 * L1 (~ -3151 Hz) relative to the unimpaired scenario."""
+    from gps_sdr_tpu.config import L1_FREQ
+
+    base = make_scenario(CFG, n_sats=1, duration_sec=8.0, seed=7)
+    imp = make_scenario(CFG, n_sats=1, duration_sec=8.0, seed=7,
+                        osc_ppm=2.0)
+    b0 = synth_scenario_blocks(base, 0, 1, noise_std=0.0)[0]
+    b1 = synth_scenario_blocks(imp, 0, 1, noise_std=0.0)[0]
+    # dominant tone of the conjugate product = frequency difference
+    prod = b1 * np.conj(b0)
+    spec = np.abs(np.fft.fft(prod))
+    df_bins = np.fft.fftfreq(len(prod), 1.0 / CFG.sample_rate)
+    df = df_bins[int(np.argmax(spec))]
+    assert abs(df - (-2e-6 * L1_FREQ)) < 40.0     # within ~1 FFT bin
+
+
 def test_chunk_continuity(scn):
     dev = DeviceScenarioSynth(scn, noise_std=0.0)
     whole = np.asarray(dev.chunk(0, 2))
