@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("epochs", help="replay a recorded epoch fixture "
                        "through the evaluator only (LOAD_PICKLE)")
     p.add_argument("path")
+    p.add_argument("--then-udp", action="store_true",
+                   help="at fixture end, keep listening for live epochs "
+                        "over UDP (the reference's LOAD_PICKLE "
+                        "fall-through, gpseval.py:516-524)")
     common(p)
 
     p = sub.add_parser("eval", help="evaluator half of the two-process "
@@ -267,6 +271,8 @@ def run_in_process(args, cfg) -> int:
     if args.mode == "epochs":
         from gps_sdr_tpu.utils.io import load_epoch_records
         summary = session.run_epoch_records(load_epoch_records(args.path))
+        if args.then_udp:
+            summary = session.run_udp_followup(max_sec=args.max_sec)
     else:
         t0 = time.time()
         summary = session.run_source(block_source(args, cfg))

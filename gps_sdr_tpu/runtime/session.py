@@ -83,6 +83,36 @@ class Session:
                           else EpochInput(*rec))
         return self.final_summary()
 
+    def run_udp_followup(self, max_sec: float | None = None,
+                         idle_timeout: float = 30.0) -> dict:
+        """Continue consuming epochs from the live UDP transport after a
+        fixture replay ends (the reference's LOAD_PICKLE fall-through at
+        list end, gpseval.py:516-524): statistics, ephemerides and the
+        reporter carry over seamlessly from the replayed prefix."""
+        from gps_sdr_tpu.runtime.transport import EpochReceiver
+
+        rx = EpochReceiver()
+        t0 = time.time()
+        idle = 0.0
+        try:
+            while True:
+                epoch = rx.recv()
+                if epoch is None:
+                    time.sleep(0.05)
+                    idle += 0.05
+                    if idle > idle_timeout or (
+                            max_sec is not None
+                            and time.time() - t0 > max_sec):
+                        break
+                    continue
+                idle = 0.0
+                self._consume(epoch)
+        except KeyboardInterrupt:
+            rx.request_stop()
+        finally:
+            rx.close()
+        return self.final_summary()
+
     def _consume(self, epoch: EpochInput) -> None:
         if self.record_epochs_to is not None:
             self.records.append(
@@ -105,6 +135,18 @@ class Session:
                 self.receiver.request_sweep()
             elif ev == "STOP":
                 self.receiver.stop()
+            elif ev == "CLOSE":
+                # reference Close button (gpsui.py:469-470): stop the
+                # pipeline and tear the window down
+                self.receiver.stop()
+                close = getattr(self.reporter, "close", None)
+                if close is not None:
+                    close()
+            elif isinstance(ev, tuple) and ev[0] == "SET_HEIGHT":
+                # reference H= entry (onTbHeight, gpsui.py:493-498):
+                # the height used by the 3-sat constraint mode
+                self.evaluator.cfg = self.evaluator.cfg.replace(
+                    height=float(ev[1]))
             elif ev == "MAP" and hasattr(self.reporter, "save_map"):
                 path = self.reporter.save_map("gps_map.html")
                 if path:

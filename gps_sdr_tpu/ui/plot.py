@@ -12,10 +12,13 @@ snapshots when no display is available):
     (gpsui.py:90-101, 510-576)
   * polar sky plot with per-PRN fixed colors (gpsui.py:21-28, 169-190)
 
-Controls (keybindings; reference buttons + keys s/r/q/m,
-gpsui.py:193-250, 458-505): s = sweep, q = stop, m = export HTML map.
-Events are collected via `get_events()` exactly like GpsUI.getEvents so
-the runtime can forward them to the receiver control surface.
+Controls (reference buttons + keys, gpsui.py:193-250, 458-505):
+buttons Sweep / Clear Stats & Track / Stop / Show on Map / Close, a
+Confine-Height check box, an H= height text box and track-plot zoom
++/- buttons; keys s = sweep, r = clear, q = stop, m = export HTML map,
+h = toggle height constraint, +/- = zoom.  Events are collected via
+`get_events()` exactly like GpsUI.getEvents so the runtime can forward
+them to the receiver control surface.
 """
 
 from __future__ import annotations
@@ -52,34 +55,138 @@ class PlotUI:
         self.ax_track.set_title("EN track")
         self.ax_track.set_aspect("equal", adjustable="datalim")
 
-        self._events: list[str] = []
+        self._events: list = []
         self._sat_rows: dict[int, dict] = {}
         self._track_en: list[tuple] = []
         self._origin = None          # (lat, lon) of first mean position
         self._mean_geo = None
+        self._zoom_span = None       # manual EN half-span once zoomed
+        self._widgets = {}
+        self._init_buttons()
         if interactive:
             self.fig.canvas.mpl_connect("key_press_event", self._on_key)
             plt.ion()
             plt.show(block=False)
 
-    # -- event surface (GpsUI.getEvents, gpsui.py:458-505) --
+    # -- event surface (GpsUI.getEvents + initButtons,
+    #    gpsui.py:193-250, 458-505) --
+
+    def _init_buttons(self) -> None:
+        """The reference's button bar (initButtons, gpsui.py:193-250):
+        Sweep, Clear Stats & Track, Stop, Show on Map, Confine Height,
+        an H= height entry, Close and track-zoom +/-.  Widgets work on
+        Agg too; callbacks only append to the event queue."""
+        from matplotlib.widgets import Button, CheckButtons, TextBox
+
+        fig = self.fig
+
+        def button(rect, label, cb):
+            ax = fig.add_axes(rect)
+            bt = Button(ax, label)
+            bt.on_clicked(cb)
+            return bt
+
+        w = self._widgets
+        w["sweep"] = button([0.10, 0.955, 0.10, 0.035], "Sweep",
+                            self._on_bt_sweep)
+        w["clear"] = button([0.42, 0.955, 0.17, 0.035],
+                            "Clear Stats & Track", self._on_bt_clear)
+        w["stop"] = button([0.74, 0.955, 0.10, 0.035], "Stop",
+                           self._on_bt_stop)
+        w["close"] = button([0.86, 0.955, 0.10, 0.035], "Close",
+                            self._on_bt_close)
+        w["map"] = button([0.86, 0.905, 0.10, 0.035], "Show on Map",
+                          self._on_bt_map)
+        ax_ch = fig.add_axes([0.02, 0.905, 0.14, 0.035])
+        ax_ch.set_frame_on(False)
+        w["conf_h"] = CheckButtons(ax_ch, ["Confine Height"], [False])
+        w["conf_h"].on_clicked(self._on_conf_height)
+        ax_h = fig.add_axes([0.22, 0.905, 0.07, 0.035])
+        w["height"] = TextBox(ax_h, "H = ", initial="0",
+                              textalignment="left")
+        w["height"].on_submit(self._on_tb_height)
+        w["zoom+"] = button([0.95, 0.52, 0.03, 0.035], "+",
+                            self._on_zoom_plus)
+        w["zoom-"] = button([0.95, 0.47, 0.03, 0.035], "-",
+                            self._on_zoom_minus)
+
+    def _on_bt_sweep(self, _ev=None):
+        self._events.append("SWEEP")
+
+    def _on_bt_stop(self, _ev=None):
+        self._events.append("STOP")
+
+    def _on_bt_close(self, _ev=None):
+        self._events.append("CLOSE")
+
+    def _on_bt_map(self, _ev=None):
+        self._events.append("MAP")
+
+    def _on_bt_clear(self, _ev=None):
+        self._events.append("CLEAR")
+        self._track_en = []
+        self._origin = None
+        self._zoom_span = None
+
+    def _on_conf_height(self, _label=None):
+        self._events.append("HEIGHT")
+
+    def _on_tb_height(self, txt):
+        """Height-value entry (onTbHeight, gpsui.py:493-498): a bad
+        entry resets to 0, like the reference."""
+        try:
+            h = float(txt)
+        except ValueError:
+            h = 0.0
+            self._widgets["height"].set_val("0")
+        self._events.append(("SET_HEIGHT", h))
+
+    def _zoom(self, factor: float) -> None:
+        """Track-plot zoom (onZoomPlus/Minus, gpsui.py:500-505):
+        + halves the EN span, - doubles it; Clear restores autoscale."""
+        if self._track_en:
+            arr = np.asarray(self._track_en)
+            span = max(np.ptp(arr[:, 0]), np.ptp(arr[:, 1]), 1.0)
+        else:
+            span = 2.0
+        if self._zoom_span is None:
+            self._zoom_span = span / 2.0
+        self._zoom_span *= factor
+        self._apply_zoom()
+
+    def _apply_zoom(self) -> None:
+        if self._zoom_span is None:
+            return
+        c = (np.asarray(self._track_en[-1]) if self._track_en
+             else np.zeros(2))
+        s = self._zoom_span
+        self.ax_track.set_xlim(c[0] - s, c[0] + s)
+        self.ax_track.set_ylim(c[1] - s, c[1] + s)
+
+    def _on_zoom_plus(self, _ev=None):
+        self._zoom(0.5)
+
+    def _on_zoom_minus(self, _ev=None):
+        self._zoom(2.0)
 
     def _on_key(self, event) -> None:
-        key = (event.key or "").lower()
-        if key == "s":
-            self._events.append("SWEEP")
-        elif key == "q":
-            self._events.append("STOP")
-        elif key == "m":
-            self._events.append("MAP")
-        elif key == "r":                      # Clear (gpsui.py:193-250)
-            self._events.append("CLEAR")
-            self._track_en = []
-            self._origin = None
-        elif key == "h":                      # ConfineHeight toggle
-            self._events.append("HEIGHT")
+        key = event.key or ""
+        if key in ("s", "S"):
+            self._on_bt_sweep()
+        elif key in ("q", "Q"):
+            self._on_bt_stop()
+        elif key in ("m", "M"):
+            self._on_bt_map()
+        elif key in ("r", "R"):               # Clear (gpsui.py:193-250)
+            self._on_bt_clear()
+        elif key in ("h", "H"):               # ConfineHeight toggle
+            self._on_conf_height()
+        elif key == "+":
+            self._on_zoom_plus()
+        elif key == "-":
+            self._on_zoom_minus()
 
-    def get_events(self) -> list[str]:
+    def get_events(self) -> list:
         ev, self._events = self._events, []
         return ev
 
@@ -195,6 +302,7 @@ class PlotUI:
             ax.yaxis.set_major_formatter(fmt)
         ax.set_title("EN track")
         ax.set_aspect("equal", adjustable="datalim")
+        self._apply_zoom()                    # manual zoom sticks
 
     def _draw_sky(self, summary, used) -> None:
         sat_pos = summary.get("sat_positions") or []

@@ -71,6 +71,75 @@ def test_ui_clear_and_height_events():
     assert s2.evaluator.stat is None
 
 
+def _blocks():
+    cfg = ReceiverConfig()
+    sat = SatSignal(prn=9, doppler=1500.0, code_delay=100.0,
+                    nav_bits=random_bits(64, seed=1))
+    return cfg, cached_synth("recovery_skip_v1", lambda: synth_stream(
+        cfg, [sat], n_blocks=3 * cfg.no_sec + 1, noise_std=0.4))
+
+
+def test_ui_close_event_stops_and_closes():
+    cfg, blocks = _blocks()
+
+    class ClosableUI(EventOnceUI):
+        closed = False
+
+        def close(self):
+            self.closed = True
+
+    ui = ClosableUI("CLOSE")
+    s = Session(cfg, reporter=ui)
+    s.run_source(iter(blocks))
+    assert s.receiver._stop and ui.closed
+
+
+def test_ui_set_height_event():
+    cfg, blocks = _blocks()
+    s = Session(cfg, reporter=EventOnceUI(("SET_HEIGHT", 123.0)))
+    s.run_source(iter(blocks))
+    assert s.evaluator.cfg.height == 123.0
+
+
+def test_plotui_buttons_emit_reference_events():
+    """Every reference control (initButtons, gpsui.py:193-250) must
+    emit its event through the PlotUI queue; zoom must clamp the track
+    axes."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    from gps_sdr_tpu.ui.plot import PlotUI
+
+    ui = PlotUI(interactive=False)
+    try:
+        ui._on_bt_sweep()
+        ui._on_bt_clear()
+        ui._on_bt_stop()
+        ui._on_bt_map()
+        ui._on_bt_close()
+        ui._on_conf_height()
+        ui._on_tb_height("250")
+        assert ui.get_events() == ["SWEEP", "CLEAR", "STOP", "MAP",
+                                   "CLOSE", "HEIGHT",
+                                   ("SET_HEIGHT", 250.0)]
+        # malformed height entry resets to 0 like the reference
+        ui._on_tb_height("abc")
+        assert ui.get_events() == [("SET_HEIGHT", 0.0)]
+        # zoom halves / doubles the EN span around the newest point
+        ui._track_en = [(0.0, 0.0), (100.0, 50.0)]
+        ui._on_zoom_plus()
+        x0 = np.diff(ui.ax_track.get_xlim())[0]
+        ui._on_zoom_minus()
+        ui._on_zoom_minus()
+        assert np.isclose(np.diff(ui.ax_track.get_xlim())[0], 4 * x0)
+        # keyboard aliases drive the same handlers
+        class K:
+            key = "+"
+        ui._on_key(K())
+        assert ui._zoom_span is not None
+    finally:
+        ui.close()
+
+
 def test_ephemeris_cache_age_gating(tmp_path):
     path = tmp_path / "eph.json"
     io.save_ephemerides(str(path), {7: {"IODC": 5, "sqrtA": 5153.6}})

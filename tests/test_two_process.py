@@ -3,6 +3,7 @@ over UDP (the reference's SEND_OVER_UDP topology, gpssdr.py +
 gpsglob.py:79-88), receiver side driven by the transport sender."""
 
 import json
+import socket
 import subprocess
 import sys
 import time
@@ -12,8 +13,28 @@ import pytest
 
 from gps_sdr_tpu.config import DEFAULT as CFG
 from gps_sdr_tpu.runtime.evaluator import EpochInput
-from gps_sdr_tpu.runtime.transport import EpochSender
+from gps_sdr_tpu.runtime.transport import DATA_PORT, EpochSender
 from tests.test_cli_ui import epoch_records  # fixture  # noqa: F401
+
+
+def _wait_until_bound(proc, port: int, timeout: float = 90.0) -> None:
+    """Poll until the subprocess has bound the UDP data port (a fresh
+    bind attempt then fails with EADDRINUSE) instead of sleeping a
+    fixed time — robust on an arbitrarily loaded host."""
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        if proc.poll() is not None:
+            raise AssertionError(
+                f"eval process exited early: {proc.stdout.read()}")
+        probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            probe.bind(("", port))
+        except OSError:
+            return                      # port taken -> receiver is up
+        finally:
+            probe.close()
+        time.sleep(0.25)
+    raise AssertionError(f"eval process never bound port {port}")
 
 
 def test_eval_subprocess_over_udp(tmp_path, epoch_records):  # noqa: F811
@@ -24,7 +45,7 @@ def test_eval_subprocess_over_udp(tmp_path, epoch_records):  # noqa: F811
          "--out", str(out), "--max-sec", "20"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
-        time.sleep(8.0)    # let it import jax + bind (slow/loaded host)
+        _wait_until_bound(proc, DATA_PORT)
         tx = EpochSender()
         for rec in records:
             tx.send(EpochInput(*rec))
