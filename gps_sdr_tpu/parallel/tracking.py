@@ -60,10 +60,24 @@ def pad_channels(states: ChannelState, codes: np.ndarray,
 
 
 def _track_shard(cfg: ReceiverConfig, n_time: int, n_stitch: int,
-                 states0: ChannelState, blocks, stream_no0, codes,
-                 code_ffts):
+                 warmup: int, states0: ChannelState, blocks, stream_no0,
+                 codes, code_ffts):
     """Per-device body: scan local blocks over local channels, stitching
-    carry state across time shards with ppermute."""
+    carry state across time shards with ppermute.
+
+    Two stitch strategies (see track_sharded):
+      * full re-scan passes (n_stitch): pass k makes shards 0..k-1
+        exact; n_stitch = n_time is sequential-exact but re-processes
+        the whole stream on every device (zero speedup at exactness).
+      * boundary-state handoff (warmup > 0): ONE ppermute of the
+        shard-final carry pytree (a few KB/channel) plus a re-scan of
+        only the first `warmup` blocks.  The tracking loops are
+        contractive — PLL/DLL forget their initial state within a
+        re-lock window — so the pass-1 final state of every shard is
+        already converged; the handoff repairs exactly the boundary
+        transient.  Per-device work is (1 + warmup/t_local) scans:
+        near-linear speedup for warmup << t_local.
+    """
     sid = jax.lax.axis_index(TIME_AXIS)
     t_local = blocks.shape[0]
     stream0_local = (jnp.asarray(stream_no0).astype(jnp.int32)
@@ -73,21 +87,38 @@ def _track_shard(cfg: ReceiverConfig, n_time: int, n_stitch: int,
     init = states0
     final, outs = track_chunk_impl(cfg, init, blocks, stream0_local,
                                    codes, code_ffts)
-    for _ in range(max(n_stitch - 1, 0)):
+    if warmup > 0 and n_time > 1:
+        w = min(warmup, t_local)
         recv = jax.tree.map(
             lambda x: jax.lax.ppermute(x, TIME_AXIS, perm), final)
-        init = jax.tree.map(
+        # shard 0's true initial state IS states0; everyone else starts
+        # from the left neighbour's converged final state
+        init2 = jax.tree.map(
             lambda a, b: jnp.where(sid == 0, a, b), states0, recv)
-        final, outs = track_chunk_impl(cfg, init, blocks, stream0_local,
-                                       codes, code_ffts)
+        final2, outs2 = track_chunk_impl(cfg, init2, blocks[:w],
+                                         stream0_local, codes, code_ffts)
+        # splice: corrected boundary window + pass-1 steady state
+        outs = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b[w:]], axis=0), outs2, outs)
+        if w == t_local:
+            final = final2
+    else:
+        for _ in range(max(n_stitch - 1, 0)):
+            recv = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, TIME_AXIS, perm), final)
+            init = jax.tree.map(
+                lambda a, b: jnp.where(sid == 0, a, b), states0, recv)
+            final, outs = track_chunk_impl(cfg, init, blocks,
+                                           stream0_local, codes, code_ffts)
     # add a leading per-shard axis so the caller sees [n_time, C, ...]
     final = jax.tree.map(lambda x: x[None], final)
     return final, outs
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _track_sharded_jit(cfg: ReceiverConfig, mesh: Mesh, n_stitch: int,
-                       states, blocks, stream_no0, codes, code_ffts):
+                       warmup: int, states, blocks, stream_no0, codes,
+                       code_ffts):
     n_time = mesh.shape[TIME_AXIS]
     state_spec = ChannelState(
         *([P(CH_AXIS)] * len(ChannelState._fields)))
@@ -96,7 +127,7 @@ def _track_sharded_jit(cfg: ReceiverConfig, mesh: Mesh, n_stitch: int,
     final_spec = ChannelState(
         *([P(TIME_AXIS, CH_AXIS)] * len(ChannelState._fields)))
     fn = jax.shard_map(
-        functools.partial(_track_shard, cfg, n_time, n_stitch),
+        functools.partial(_track_shard, cfg, n_time, n_stitch, warmup),
         mesh=mesh,
         in_specs=(state_spec, P(TIME_AXIS), P(), P(CH_AXIS), P(CH_AXIS)),
         out_specs=(final_spec, out_spec),
@@ -106,7 +137,8 @@ def _track_sharded_jit(cfg: ReceiverConfig, mesh: Mesh, n_stitch: int,
 
 def track_sharded(cfg: ReceiverConfig, mesh: Mesh, states: ChannelState,
                   blocks, stream_no0, codes, code_ffts,
-                  n_stitch: int | None = None
+                  n_stitch: int | None = None,
+                  warmup_blocks: int | None = None
                   ) -> tuple[ChannelState, ChannelOut]:
     """Track T blocks over the (time, ch) mesh.
 
@@ -116,14 +148,25 @@ def track_sharded(cfg: ReceiverConfig, mesh: Mesh, states: ChannelState,
     final_states is the last time-shard's state [C, ...] and outs is
     stacked in stream order [T, C, ...].
 
-    n_stitch defaults to the time-axis size (exact sequential
-    equivalence); pass a smaller value to trade boundary transients for
-    wall-clock (each stitch pass costs one local scan).
+    Stitch strategy:
+      * warmup_blocks=W (recommended for scaling): ONE boundary-state
+        ppermute + a W-block re-scan per shard.  Per-device work is
+        (1 + W/t_local) scans -> near-linear speedup; residual error is
+        confined to re-lock transients past the warmup window (see
+        test_parallel / examples/scaling_sweep.py for measured deltas).
+      * n_stitch=k full re-scan passes: k = time-axis size reproduces
+        the sequential scan exactly, at the cost of every device
+        re-processing the whole stream (no speedup at exactness; the
+        default, for correctness-critical use).
     """
     n_time = mesh.shape[TIME_AXIS]
     c_size = mesh.shape[CH_AXIS]
-    if n_stitch is None:
-        n_stitch = n_time
+    if warmup_blocks is None:
+        warmup_blocks = 0
+        if n_stitch is None:
+            n_stitch = n_time
+    else:
+        n_stitch = 1
     t = blocks.shape[0]
     if t % n_time:
         raise ValueError(f"T={t} not divisible by time shards {n_time}")
@@ -137,7 +180,8 @@ def track_sharded(cfg: ReceiverConfig, mesh: Mesh, states: ChannelState,
     states = jax.tree.map(lambda x: jax.device_put(x, sh), states)
     codes = jax.device_put(jnp.asarray(codes), sh)
     code_ffts = jax.device_put(jnp.asarray(code_ffts), sh)
-    finals, outs = _track_sharded_jit(cfg, mesh, int(n_stitch), states,
+    finals, outs = _track_sharded_jit(cfg, mesh, int(n_stitch),
+                                      int(warmup_blocks), states,
                                       blocks, stream_no0, codes, code_ffts)
     # outs per shard are stacked on the (sharded) leading axis => already
     # [T, C, ...] in stream order.  finals: take the last shard's row.

@@ -138,6 +138,28 @@ def test_acquire_sharded_wide_grid(stream8):
             assert abs(got.delay[i] - truth.code_delay) <= 1.5
 
 
+def test_track_sharded_warmup_handoff(stream8):
+    """Boundary-state handoff (one ppermute + warmup re-scan): code
+    phases must match the sequential run everywhere, and per-device
+    work is (1 + W/L) scans instead of n_shards."""
+    mesh = make_mesh(8, time_shards=2)
+    states, codes, ffts = _init_states(4)
+    blocks = jnp.asarray(stream8)
+    ref_states, ref_outs = track_chunk(
+        CFG, _init_states(4)[0], blocks, jnp.int32(1),
+        jnp.asarray(codes), jnp.asarray(ffts))
+    _, got_outs = track_sharded(CFG, mesh, states, blocks, jnp.int32(1),
+                                codes, ffts, warmup_blocks=2)
+    ref_cp = np.asarray(ref_outs.code_phase)
+    got_cp = np.asarray(got_outs.code_phase)
+    both = (ref_cp >= 0) & (got_cp >= 0)
+    assert (np.abs(ref_cp - got_cp)[both] < 0.5).mean() > 0.95
+    # the warmup window itself is corrected: shard 1's first blocks use
+    # the handed-off exact state, so they match the sequential run
+    np.testing.assert_allclose(ref_cp[4:6][both[4:6]],
+                               got_cp[4:6][both[4:6]], atol=1e-3)
+
+
 def test_track_sharded_approximate_stitch(stream8):
     """n_stitch < n_shards: later time shards start from a k-hop state;
     tracking must still lock and code phases must match the sequential
