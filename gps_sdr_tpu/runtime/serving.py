@@ -1,0 +1,156 @@
+"""Multi-receiver serving: S independent streams on one chip.
+
+Production deployment shape: one accelerator serves many concurrent
+RTL-SDR front ends (fleets of receivers, wide-area monitoring).  The
+reference binds one multicore CPU to ONE receiver (README.md:23-24);
+here the stream axis is a vmapped batch dimension of the tracking scan
+(ops/tracking.py track_streams), so S receivers cost one device program
+per chunk plus one batched compact download, while the host keeps one
+slot table / nav decoder / epoch pipeline per stream.
+
+The device loop mirrors Receiver.run_device (pipelined dispatch,
+windowed downloads); host-side channel management (cold-start
+acquisition, per-channel re-sweeps) runs per stream and scatters its
+slot updates back into the stacked state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.ops.tracking import (pack_outs_compact, track_streams,
+                                      unpack_outs_compact)
+from gps_sdr_tpu.runtime.receiver import (Receiver, _DeviceChunk,
+                                          _download_block)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _pack_streams(outs, cap: int):
+    """vmap pack_outs_compact over the stream axis -> [S, L] f32."""
+    return jax.vmap(lambda o: pack_outs_compact(o, cap))(outs)
+
+
+@jax.jit
+def _stack_windows(*bufs):
+    return jnp.stack(bufs)                      # [N, S, L]
+
+
+class StreamServer:
+    """Serve S independent receivers from one device.
+
+    Each stream keeps its own Receiver (slot table, decoders, status)
+    and — by the caller — its own Evaluator; tracking for all streams
+    runs as ONE device call per chunk (track_streams) and all packed
+    outputs cross the link as ONE windowed transfer.
+    """
+
+    def __init__(self, cfg: ReceiverConfig, n_streams: int):
+        self.cfg = cfg
+        self.receivers = [Receiver(cfg) for _ in range(n_streams)]
+        self._stacked = None        # ChannelState with leading [S]
+        self._codes_dev = None      # [S, C, cs]
+        self._ffts_dev = None
+
+    @property
+    def n_streams(self) -> int:
+        return len(self.receivers)
+
+    def _restack(self) -> None:
+        self._stacked = jax.tree.map(
+            lambda *x: jnp.stack(x), *[r.states for r in self.receivers])
+        self._codes_dev = jnp.stack(
+            [r._codes_dev for r in self.receivers])
+        self._ffts_dev = jnp.stack([r._ffts_dev for r in self.receivers])
+
+    def _scatter_stream(self, s: int) -> None:
+        """Push receiver s's (host-managed) state back into the stack."""
+        self._stacked = jax.tree.map(
+            lambda big, x: big.at[s].set(x), self._stacked,
+            self.receivers[s].states)
+        self._codes_dev = self._codes_dev.at[s].set(
+            self.receivers[s]._codes_dev)
+        self._ffts_dev = self._ffts_dev.at[s].set(
+            self.receivers[s]._ffts_dev)
+
+    def run(self, providers, n_chunks: int,
+            chunk_blocks: int | None = None):
+        """Yield (stream_idx, EpochInput) pairs, chunk-major.
+
+        providers: one callable(first_block, n_blocks) -> device chunk
+        shared by every stream (serving replicas of one capture), or a
+        list of S callables (independent front ends).
+        """
+        cfg = self.cfg
+        s_n = self.n_streams
+        if callable(providers):
+            providers = [providers] * s_n
+        shared = all(p is providers[0] for p in providers)
+        t = chunk_blocks or cfg.no_sec
+        cap = self.receivers[0]._edge_cap(t)
+        sl = cfg.n_cyc + 1
+        pending = []              # [(chunks, packed_dev, stream0)]
+
+        def drain():
+            if not pending:
+                return
+            bufs = _stack_windows(*[p[1] for p in pending]) \
+                if len(pending) > 1 else pending[0][1][None]
+            host = np.asarray(bufs)            # ONE transfer per window
+            for (chunks, _, stream0), win in zip(pending, host):
+                for s, rec in enumerate(self.receivers):
+                    outs, dropped = unpack_outs_compact(
+                        win[s], t, cfg.max_sat, sl, cap)
+                    rec.status.edge_overflows += int(dropped.sum())
+                    # expose this stream's device state to the host-side
+                    # channel manager (re-sweeps reset slots on it)
+                    rec.states = jax.tree.map(
+                        lambda x, _s=s: x[_s], self._stacked)
+                    chunk = _DeviceChunk(chunks[s if not shared else 0])
+                    epoch, swept = rec._consume_chunk(chunk, outs,
+                                                      stream0, 0)
+                    if swept:
+                        self._scatter_stream(s)
+                    yield s, epoch
+            pending.clear()
+
+        for ci in range(n_chunks):
+            first = ci * t
+            chunks = ([providers[0](first, t)] if shared
+                      else [p(first, t) for p in providers])
+            if any(r.sweep_all for r in self.receivers):
+                yield from drain()
+                for s, rec in enumerate(self.receivers):
+                    if not rec.sweep_all:
+                        continue
+                    blk0 = _download_block(chunks[s if not shared else 0],
+                                           0)
+                    if self._stacked is not None:
+                        rec.states = jax.tree.map(
+                            lambda x, _s=s: x[_s], self._stacked)
+                    rec._serve_sweep_all(blk0)
+                    if self._stacked is not None:
+                        self._scatter_stream(s)
+                if self._stacked is None:      # cold start: first stack
+                    self._restack()
+            stream0 = self.receivers[0].status.stream_no + 1
+            blocks = (jnp.broadcast_to(
+                chunks[0][None], (s_n,) + chunks[0].shape)
+                if shared else jnp.stack(chunks))
+            self._stacked, outs = track_streams(
+                cfg, self._stacked, blocks, jnp.float32(stream0),
+                self._codes_dev, self._ffts_dev)
+            for rec in self.receivers:
+                rec.status.stream_no += t
+                rec.status.blocks_processed += t
+            pending.append((chunks, _pack_streams(outs, cap), stream0))
+            if len(pending) >= max(1, cfg.chunks_per_download):
+                yield from drain()
+        yield from drain()
+        # hand the final device states back to the receivers
+        for s, rec in enumerate(self.receivers):
+            rec.states = jax.tree.map(lambda x, _s=s: x[_s], self._stacked)

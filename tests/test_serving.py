@@ -1,0 +1,50 @@
+"""StreamServer: S receivers served from one device program must equal
+independent single-receiver runs (tracking epochs, code phases, frames),
+including cold-start acquisition and the pipelined compact download."""
+
+import numpy as np
+
+from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.models.scenario import make_scenario
+from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
+from gps_sdr_tpu.runtime.receiver import Receiver
+from gps_sdr_tpu.runtime.serving import StreamServer
+
+CFG = ReceiverConfig()
+SEC = 8
+
+
+def _epochs_equal(a, b):
+    assert a.skipped_samples == b.skipped_samples
+    assert sorted(a.code_phases) == sorted(b.code_phases)
+    for prn in a.code_phases:
+        np.testing.assert_allclose(
+            np.asarray([c for _, c in a.code_phases[prn]]),
+            np.asarray([c for _, c in b.code_phases[prn]]), atol=1e-5)
+    assert len(a.frames) == len(b.frames)
+    for fa, fb in zip(a.frames, b.frames):
+        assert fa.get("SAT") == fb.get("SAT")
+        assert fa.get("tow") == fb.get("tow")
+
+
+def test_stream_server_matches_single_receiver():
+    scn = make_scenario(CFG, n_sats=4, duration_sec=SEC + 6.0, seed=5)
+    dev = DeviceScenarioSynth(scn, noise_std=0.4)
+    t = CFG.no_sec
+    n_chunks = int(round(SEC / (t * CFG.block_sec)))
+
+    ref = Receiver(CFG)
+    ref_epochs = list(ref.run_device(dev.chunk_planar, n_chunks))
+
+    srv = StreamServer(CFG, 2)
+    got = {0: [], 1: []}
+    for s, epoch in srv.run(dev.chunk_planar, n_chunks):
+        got[s].append(epoch)
+
+    assert len(got[0]) == len(got[1]) == len(ref_epochs) > 0
+    for s in (0, 1):
+        for ea, eb in zip(got[s], ref_epochs):
+            _epochs_equal(ea, eb)
+    # both streams acquired the scenario's satellites
+    for rec in srv.receivers:
+        assert len(rec.slots.active) >= 3
