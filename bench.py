@@ -27,8 +27,14 @@ import time
 
 sys.path.insert(0, ".")
 
+import os  # noqa: E402
+
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
+
+if os.environ.get("BENCH_CPU"):
+    # smoke-test mode: the axon plugin ignores JAX_PLATFORMS, force it
+    jax.config.update("jax_platforms", "cpu")
 
 from gps_sdr_tpu.utils.profiling import enable_compile_cache  # noqa: E402
 
@@ -45,7 +51,6 @@ from gps_sdr_tpu.ops.tracking import (init_channel_states,  # noqa: E402
                                       to_f32_pairs, track_chunk_batched)
 
 N_CHANNELS = 12
-import os  # noqa: E402
 
 # fused step size; any K is sequential-equivalent (virtual NCO retune,
 # ops/tracking.py). K=32 measured best on one v5e with bf16 wipeoff
@@ -58,6 +63,17 @@ if os.environ.get("BENCH_BF16"):
     # trace-time flag, must be set before the first compile
     from gps_sdr_tpu.ops import dft as _dftmod
     _dftmod.BF16_MATMUL = True
+
+
+class _Skip(Exception):
+    """Raised to skip a deselected bench extra (BENCH_EXTRAS)."""
+
+
+def _fail(e: Exception) -> str:
+    """Stress-extra failure marker; full traceback goes to stderr."""
+    import traceback
+    traceback.print_exc(file=sys.stderr)
+    return f"failed: {type(e).__name__}: {e}"
 
 
 def force_f32(x) -> float:
@@ -79,7 +95,7 @@ def main():
                          blocks_per_step=BLOCKS_PER_STEP,
                          use_pallas_kernels=jax.default_backend() == "tpu",
                          use_pallas_cheap=jax.default_backend() == "tpu")
-    t_small = 512
+    t_small = int(os.environ.get("BENCH_TSMALL", "512"))
     t_large = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
 
     rng = np.random.default_rng(0)
@@ -189,8 +205,17 @@ def main():
 
     # --- stress configurations (BASELINE.md): wide grid, 32 channels,
     #     16 MS/s front end.  Best-effort extras; never fail the bench.
+    #     BENCH_EXTRAS selects a comma-separated subset (default all):
+    #     widegrid,ch32,streams,fullloop,serving,ncyc8,msps16
+    _extras = set(os.environ.get("BENCH_EXTRAS", "all").split(","))
+
+    def want(name: str) -> bool:
+        return "all" in _extras or name in _extras
+
     stress = {}
     try:
+        if not want("widegrid"):
+            raise _Skip
         wide = cfg.replace(min_freq=-10000.0, max_freq=10000.0)
         dw = jnp.asarray(wide.doppler_bins, dtype=np.float32)
         res_w = acquire(wide, blk1[0], dw, all_ffts)
@@ -200,9 +225,13 @@ def main():
         force_f32(res_w.norm_max)
         stress["acq_31prn_pm10khz_ms"] = round(
             (time.perf_counter() - t0) * 1e3, 1)
+    except _Skip:
+        pass
     except Exception as e:
-        stress["acq_31prn_pm10khz_ms"] = f"failed: {type(e).__name__}"
+        stress["acq_31prn_pm10khz_ms"] = _fail(e)
     try:
+        if not want("ch32"):
+            raise _Skip
         n32 = 32
         cfg32 = cfg.replace(max_sat=n32)
         prns32 = np.resize(np.arange(2, 33), n32)
@@ -257,9 +286,13 @@ def main():
                 t32l * cfg.block_sec / w32l, 1)
         stress["track_32ch_rtf_single_call"] = round(sig_small / w32s, 1)
         stress["track_32ch_locked"] = int((s32["locked"] > 0.5).sum())
+    except _Skip:
+        pass
     except Exception as e:
-        stress["track_32ch_rtf"] = f"failed: {type(e).__name__}"
+        stress["track_32ch_rtf"] = _fail(e)
     try:
+        if not want("streams"):
+            raise _Skip
         # multi-stream serving: S independent receivers in one program
         from gps_sdr_tpu.ops.tracking import track_streams
         n_streams = int(os.environ.get("BENCH_STREAMS", "8"))
@@ -322,9 +355,13 @@ def main():
         stress[skey + "_locked"] = int(np.asarray(jnp.sum(
             om.locked[:, -1].astype(jnp.float32))))
         bl.delete()
+    except _Skip:
+        pass
     except Exception as e:
-        stress["streams_aggregate_rtf"] = f"failed: {type(e).__name__}"
+        stress["streams_aggregate_rtf"] = _fail(e)
     try:
+        if not want("ncyc8"):
+            raise _Skip
         # 8 ms position-fix epoch (the reference's N_CYC=8 "powerful
         # computers" mode, gpsglob.py:122-124): 12 channels, two-size
         # amortized rate like the headline
@@ -362,9 +399,140 @@ def main():
             (t8l - t8s) * cfg8.block_sec / d8, 1) if d8 >= 0.005 \
             else round(t8l * cfg8.block_sec / w8l, 1)
         stress["track_ncyc8_locked"] = int((s8["locked"] > 0.5).sum())
+    except _Skip:
+        pass
     except Exception as e:
-        stress["track_ncyc8_rtf"] = f"failed: {type(e).__name__}"
+        stress["track_ncyc8_rtf"] = _fail(e)
     try:
+        if not want("fullloop"):
+            raise _Skip
+        # --- full receiver system: device-resident IQ -> tracking ->
+        #     compact batched download -> host nav decode ->
+        #     pseudoranges -> Gauss-Newton fixes.  This is the system a
+        #     user actually runs (the reference's gpsrecv.py:445-548 +
+        #     gpseval.py as one real-time pipeline, baseline 1.0x); the
+        #     headline above is the tracking kernel alone.  The capture
+        #     is pre-synthesized into an HBM buffer so the measurement
+        #     is the receiver, not the simulator (in production the IQ
+        #     arrives by DMA).  Warm-up (acquisition, compiles, first
+        #     download window) is excluded by discarding the first
+        #     download window of chunks.
+        import functools
+
+        from gps_sdr_tpu.models.scenario import make_scenario
+        from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
+        from gps_sdr_tpu.runtime.evaluator import Evaluator
+        from gps_sdr_tpu.runtime.receiver import Receiver
+
+        fl_sec = float(os.environ.get("BENCH_FULL_SEC", "48"))
+        t_fl = cfg.no_sec
+        n_chunks_fl = int(round(fl_sec / (t_fl * cfg.block_sec)))
+        warm_fl = min(cfg.chunks_per_download, n_chunks_fl - 1)
+        scn = make_scenario(cfg, n_sats=10, seed=3,
+                            duration_sec=fl_sec + 12.0)
+        devsyn = DeviceScenarioSynth(scn, noise_std=0.5)
+        parts = [devsyn.chunk_planar(ci * t_fl, t_fl)
+                 for ci in range(n_chunks_fl)]
+        buf_fl = jnp.concatenate(parts)
+        force_f32(buf_fl[:1])
+        for p in parts:
+            p.delete()
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def _slice_fl(b, first, n):
+            return jax.lax.dynamic_slice_in_dim(b, first, n)
+
+        def provider_fl(first, n):
+            return _slice_fl(buf_fl, jnp.int32(first), n)
+
+        rec_fl = Receiver(cfg)
+        ev_fl = Evaluator(cfg)
+        t0 = None
+        done_fl = 0
+        for epoch in rec_fl.run_device(provider_fl, n_chunks_fl):
+            ev_fl.process(epoch)
+            done_fl += 1
+            if done_fl == warm_fl:
+                t0 = time.perf_counter()
+        wall_fl = time.perf_counter() - t0
+        sig_fl = (done_fl - warm_fl) * t_fl * cfg.block_sec
+        stress["full_loop_rtf"] = round(sig_fl / wall_fl, 1)
+        stress["full_loop_fixes"] = len(ev_fl.positions)
+        stress["full_loop_err_m"] = (
+            round(float(np.linalg.norm(ev_fl.stat[0] - scn.rec_ecef)), 2)
+            if ev_fl.stat is not None else "no fixes")
+        buf_fl.delete()
+    except _Skip:
+        pass
+    except Exception as e:
+        stress["full_loop_rtf"] = _fail(e)
+    try:
+        # --- serving with fixes: S full receivers (tracking + nav
+        #     decode + pseudoranges + PVT) off one chip via StreamServer
+        #     (runtime/serving.py).  Streams share one capture (serving
+        #     replicas); each keeps its own slot table, decoders and
+        #     evaluator.  Aggregate RTF counts all streams.
+        if not want("serving"):
+            raise _Skip
+        import functools
+
+        from gps_sdr_tpu.models.scenario import make_scenario
+        from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
+        from gps_sdr_tpu.runtime.evaluator import Evaluator
+        from gps_sdr_tpu.runtime.serving import StreamServer
+
+        sv_sec = float(os.environ.get("BENCH_SERVE_SEC", "40"))
+        n_sv = int(os.environ.get("BENCH_SERVE_STREAMS", "8"))
+        t_sv = cfg.no_sec
+        n_chunks_sv = int(round(sv_sec / (t_sv * cfg.block_sec)))
+        scn_sv = make_scenario(cfg, n_sats=10, seed=5,
+                               duration_sec=sv_sec + 12.0)
+        dsv = DeviceScenarioSynth(scn_sv, noise_std=0.5)
+        parts = [dsv.chunk_planar(ci * t_sv, t_sv)
+                 for ci in range(n_chunks_sv)]
+        buf_sv = jnp.concatenate(parts)
+        force_f32(buf_sv[:1])
+        for p in parts:
+            p.delete()
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def _slice_sv(b, first, n):
+            return jax.lax.dynamic_slice_in_dim(b, first, n)
+
+        def provider_sv(first, n):
+            return _slice_sv(buf_sv, jnp.int32(first), n)
+
+        srv = StreamServer(cfg, n_sv)
+        evs = [Evaluator(cfg) for _ in range(n_sv)]
+        warm_ep = n_sv * min(cfg.chunks_per_download, n_chunks_sv - 1)
+        t0 = None
+        n_ep = 0
+        for s, epoch in srv.run(provider_sv, n_chunks_sv):
+            evs[s].process(epoch)
+            n_ep += 1
+            if n_ep == warm_ep:
+                t0 = time.perf_counter()
+        wall_sv = time.perf_counter() - t0
+        sig_sv = (n_ep - warm_ep) * t_sv * cfg.block_sec / n_sv
+        fixes_sv = [len(e.positions) for e in evs]
+        errs = [float(np.linalg.norm(e.stat[0] - scn_sv.rec_ecef))
+                for e in evs if e.stat is not None]
+        skey = f"serving_{n_sv}x12"
+        stress[skey + "_aggregate_rtf"] = round(
+            n_sv * sig_sv / wall_sv, 1)
+        stress[skey + "_fixes"] = int(sum(fixes_sv))
+        stress[skey + "_streams_with_fixes"] = int(
+            sum(f > 0 for f in fixes_sv))
+        stress[skey + "_max_err_m"] = (round(max(errs), 2) if errs
+                                       else "no fixes")
+        buf_sv.delete()
+    except _Skip:
+        pass
+    except Exception as e:
+        stress["serving_fix_rtf"] = _fail(e)
+    try:
+        if not want("msps16"):
+            raise _Skip
         cfg16 = ReceiverConfig(code_samples=16384, n_cyc=8, corr_avg=4,
                                sweep_corr_avg=2)
         sats16 = [SatSignal(prn=int(p),
@@ -386,8 +554,10 @@ def main():
         stress["acq_16msps_full_grid_ms"] = round(
             (time.perf_counter() - t0) * 1e3, 1)
         stress["acq_16msps_found"] = int(np.asarray(r16.found).sum())
+    except _Skip:
+        pass
     except Exception as e:
-        stress["acq_16msps_full_grid_ms"] = f"failed: {type(e).__name__}"
+        stress["acq_16msps_full_grid_ms"] = _fail(e)
 
     summary = {k: np.asarray(v)
                for k, v in summarize_states(cfg, st2).items()}

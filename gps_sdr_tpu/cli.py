@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                        help="resume from a --save-state checkpoint "
                             "(continues mid-stream: locked channels, "
                             "bit framing, and time references intact)")
+        p.add_argument("--solve-clock-rate", action="store_true",
+                       help="estimate the receiver sample-clock skew "
+                            "from the common carrier offset and "
+                            "de-bias pseudoranges (use when the SDR's "
+                            "ppm correction is unknown; replaces the "
+                            "reference's SDR_FREQCORR calibration)")
 
     p = sub.add_parser("replay", help="replay a recorded IQ capture")
     p.add_argument("path")
@@ -103,6 +109,8 @@ def make_config(args) -> ReceiverConfig:
     kw = dict(n_cyc=args.n_cyc, max_sat=args.max_sat)
     if args.conf_height is not None:
         kw.update(conf_height=True, height=args.conf_height)
+    if getattr(args, "solve_clock_rate", False):
+        kw.update(solve_clock_rate=True)
     return ReceiverConfig(**kw)
 
 

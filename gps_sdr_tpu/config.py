@@ -82,6 +82,14 @@ class ReceiverConfig:
     lsf_max_it: int = 15
     max_residual: float = 1.0e-7
     lsf_weight: bool = True
+    solve_clock_rate: bool = False  # estimate receiver-clock rate (sample
+                                    # -clock skew) as a 5th fix unknown;
+                                    # removes the elevation-correlated
+                                    # pseudorange bias of an uncorrected
+                                    # TCXO (no SDR_FREQCORR needed; the
+                                    # reference can't do this).  Needs
+                                    # >= 5 sats per epoch (auto-falls
+                                    # back below that).
 
     # -- front end --
     sample_rate_factor: int = 1000  # sample_rate = 1000 * code_samples

@@ -28,6 +28,23 @@ MAX_SLOPE = 6.55e-3     # samples/ms; max physical code-phase drift
                         # (|doppler| <= 5 kHz -> 6.5 samples/s; gpslib.py:812)
 
 
+def max_slope(cfg: ReceiverConfig) -> float:
+    """Code-phase slope cap [samples/ms] for this config's envelope.
+
+    The reference's constant (gpslib.py:812) assumes geometric Doppler
+    within +-5 kHz; an uncorrected receiver oscillator (its +-2 ppm
+    TCXO envelope, README.md:204-217) adds a COMMON code-clock skew of
+    ppm*fs samples/s on top, which the config expresses by widening the
+    acquisition search band.  Clipping real slope into a too-small cap
+    biases the per-code-period timestamp correction (corr_cp)
+    differentially across satellites — a position bias — so the cap
+    follows the configured band (+500 Hz drift margin between sweeps)
+    and never drops below the reference's constant."""
+    f_max = max(abs(cfg.min_freq), abs(cfg.max_freq)) + 500.0
+    return max(MAX_SLOPE,
+               f_max / 1540.0 * (cfg.code_samples / 1023.0) * 1e-3)
+
+
 @dataclass
 class PseudorangeEngine:
     """One satellite's code-phase -> pseudorange pipeline."""
@@ -107,7 +124,8 @@ class PseudorangeEngine:
         slope = 0.0
         if len(self.slope_hist) > 4:
             slope = float(np.mean(self.slope_hist))
-        return sigma, float(np.clip(slope, -MAX_SLOPE, MAX_SLOPE))
+        cap = max_slope(self.cfg)
+        return sigma, float(np.clip(slope, -cap, cap))
 
     # -- main entry ----------------------------------------------------------
 

@@ -34,6 +34,9 @@ class FixResult(NamedTuple):
     range_est: np.ndarray   # [n] estimated geometric ranges, m
     meas_delay: np.ndarray  # [n] measured propagation distances, m
     n_iter: int
+    clock_rate: float = 0.0  # total fractional receiver-clock rate
+                             # error applied/solved (clock_rate_fix +
+                             # the free unknown when clock_rate=True)
 
 
 def _sagnac(rec_pos: np.ndarray, range_est: np.ndarray) -> np.ndarray:
@@ -50,7 +53,9 @@ def solve_fix(sat_pos: np.ndarray, time_delay: np.ndarray,
               max_it: int = 15, max_residual: float = 1.0e-8,
               t0_guess: float = 0.07,
               height: float | None = None,
-              height_dev: float = 1.0) -> FixResult:
+              height_dev: float = 1.0,
+              clock_rate: bool = False,
+              clock_rate_fix: float = 0.0) -> FixResult:
     """Weighted Gauss-Newton position fix.
 
     sat_pos: float64[3, n] satellite ECEF positions at transmit time;
@@ -59,15 +64,48 @@ def solve_fix(sat_pos: np.ndarray, time_delay: np.ndarray,
     height: if given, adds the WGS84 height constraint row (3-sat mode,
     the reference's leastSquaresPos3).
 
+    Receiver-clock rate (sample-clock skew): the delays are per-
+    satellite ARRIVAL times of a common transmit epoch measured in
+    receiver-clock seconds, so a skewed oscillator scales every delay
+    DIFFERENCE by (1+y) — an elevation-correlated pseudorange
+    distortion of y*c*(d_i-d_0), ~6 m at the reference's +-2 ppm TCXO
+    envelope (README.md:204-217), that no per-epoch clock-bias unknown
+    can absorb.  The reference instead demands a pre-calibrated
+    SDR_FREQCORR.  `clock_rate_fix` applies a KNOWN fractional rate
+    error y (e.g. the evaluator's filtered estimate) to the delays;
+    `clock_rate=True` additionally solves the residual rate as a fifth
+    unknown (needs n >= 5) — per-epoch it is noise-amplifying (the
+    column correlates with height), so use it to FEED a cross-epoch
+    filter, not for the reported position.
+
     Returns rec_pos = [c*t0, x, y, z] with t0 the propagation time of
     satellite 0; meas_delay = c*(d - d_0) + c*t0 are per-satellite
-    propagation distances.
+    propagation distances (skew-corrected); clock_rate the total
+    fractional rate error applied + solved.
     """
     sat_pos = np.asarray(sat_pos, np.float64)
     n = sat_pos.shape[1]
     cdt = GPS_C * (np.asarray(time_delay, np.float64) - time_delay[0])
+    cdt = cdt * (1.0 - clock_rate_fix)
+    use_rate = clock_rate and n >= 5
+    nu = 5 if use_rate else 4
 
-    pos = np.zeros(4) if rec_pos0 is None else np.array(rec_pos0, np.float64)
+    if use_rate:
+        # stage the solve: the rate column is near-collinear with
+        # height from a cold start (GN falls into the degenerate
+        # all-delays-zero y=1 attractor), so converge the 4-unknown
+        # fix first and refine with the rate free from there
+        base = solve_fix(sat_pos, time_delay, std_dev=std_dev,
+                         rec_pos0=rec_pos0, max_it=max_it,
+                         max_residual=max_residual, t0_guess=t0_guess,
+                         height=height, height_dev=height_dev,
+                         clock_rate_fix=clock_rate_fix)
+        rec_pos0 = base.rec_pos
+
+    pos0 = np.zeros(4) if rec_pos0 is None else np.array(rec_pos0,
+                                                         np.float64)
+    pos = np.zeros(nu)
+    pos[:4] = pos0[:4]
     pos[0] = GPS_C * t0_guess
 
     use_height = height is not None
@@ -95,16 +133,19 @@ def solve_fix(sat_pos: np.ndarray, time_delay: np.ndarray,
         range_est = np.sqrt(np.sum(diff * diff, axis=0))
         dp = _sagnac(pos, range_est)
 
+        cdt_eff = cdt * (1.0 - pos[4]) if use_rate else cdt
         fgn = np.empty(m)
-        fgn[:n] = range_est - pos[0] - cdt
-        jac = np.empty((m, 4))
+        fgn[:n] = range_est - pos[0] - cdt_eff
+        jac = np.zeros((m, nu))
         jac[:n, 0] = -1.0
-        jac[:n, 1:] = ((pos[1:4, None] - sat_pos) / range_est).T
+        jac[:n, 1:4] = ((pos[1:4, None] - sat_pos) / range_est).T
+        if use_rate:
+            jac[:n, 4] = cdt
         if use_height:
             r_ell = np.sqrt(pos[1] ** 2 + pos[2] ** 2 + ab2 * pos[3] ** 2)
             fgn[n] = r_ell - (WGS84_A + height)
-            jac[n] = [0.0, pos[1] / r_ell, pos[2] / r_ell,
-                      ab2 * pos[3] / r_ell]
+            jac[n, :4] = [0.0, pos[1] / r_ell, pos[2] / r_ell,
+                          ab2 * pos[3] / r_ell]
 
         jtw = jac.T * w
         jtj = jtw @ jac
@@ -116,11 +157,20 @@ def solve_fix(sat_pos: np.ndarray, time_delay: np.ndarray,
         except np.linalg.LinAlgError:
             delta = -np.linalg.pinv(jtj) @ (jtw @ fgn)
         pos = pos + delta
+        if use_rate:
+            # physical TCXOs stay within tens of ppm; the clamp removes
+            # the degenerate y=1 attractor (all delays scaled to zero)
+            # that a cold-started GN can otherwise fall into
+            pos[4] = np.clip(pos[4], -2e-5, 2e-5)
         residual = float(np.linalg.norm(delta))
         it += 1
 
-    return FixResult(rec_pos=pos, residual=residual, range_est=range_est,
-                     meas_delay=cdt + pos[0], n_iter=it)
+    cdt_eff = cdt * (1.0 - pos[4]) if use_rate else cdt
+    y_total = clock_rate_fix + (float(pos[4]) if use_rate else 0.0)
+    return FixResult(rec_pos=pos[:4], residual=residual,
+                     range_est=range_est,
+                     meas_delay=cdt_eff + pos[0], n_iter=it,
+                     clock_rate=y_total)
 
 
 def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
@@ -129,7 +179,9 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
                     max_it: int = 15, max_residual: float = 1.0e-8,
                     t0_guess: float = 0.07,
                     height: float | None = None,
-                    height_dev: float = 1.0) -> list[FixResult]:
+                    height_dev: float = 1.0,
+                    clock_rate: bool = False,
+                    clock_rate_fix: float = 0.0) -> list[FixResult]:
     """solve_fix over a batch of E epochs that share the satellite count.
 
     sat_pos float64[E, 3, n]; time_delay float64[E, n]; std_dev
@@ -143,11 +195,22 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
     sat_pos = np.asarray(sat_pos, np.float64)
     E, _, n = sat_pos.shape
     td = np.asarray(time_delay, np.float64)
-    cdt = GPS_C * (td - td[:, :1])
+    cdt = GPS_C * (td - td[:, :1]) * (1.0 - clock_rate_fix)
+    use_rate = clock_rate and n >= 5
+    nu = 5 if use_rate else 4
 
-    pos = np.zeros((E, 4))
-    if rec_pos0 is not None:
-        pos[:] = np.asarray(rec_pos0, np.float64)
+    pos = np.zeros((E, nu))
+    if use_rate:
+        # staged solve (see solve_fix): 4-unknown convergence first
+        base = solve_fix_batch(sat_pos, time_delay, std_dev=std_dev,
+                               rec_pos0=rec_pos0, max_it=max_it,
+                               max_residual=max_residual,
+                               t0_guess=t0_guess, height=height,
+                               height_dev=height_dev,
+                               clock_rate_fix=clock_rate_fix)
+        pos[:, :4] = np.stack([b.rec_pos for b in base])
+    elif rec_pos0 is not None:
+        pos[:, :4] = np.asarray(rec_pos0, np.float64)[:4]
     pos[:, 0] = GPS_C * t0_guess
 
     use_height = height is not None
@@ -181,13 +244,16 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
             [-pos[:, 2], pos[:, 1], np.zeros(E)], axis=1)
         dp = omega_v[:, :, None] * (range_est / GPS_C)[:, None, :]
 
+        cdt_eff = cdt * (1.0 - pos[:, 4:5]) if use_rate else cdt
         fgn = np.empty((E, m))
-        fgn[:, :n] = range_est - pos[:, :1] - cdt
-        jac = np.empty((E, m, 4))
+        fgn[:, :n] = range_est - pos[:, :1] - cdt_eff
+        jac = np.zeros((E, m, nu))
         jac[:, :n, 0] = -1.0
-        jac[:, :n, 1:] = np.transpose(
+        jac[:, :n, 1:4] = np.transpose(
             (pos[:, 1:4, None] - sat_pos) / range_est[:, None, :],
             (0, 2, 1))
+        if use_rate:
+            jac[:, :n, 4] = cdt
         if use_height:
             r_ell = np.sqrt(pos[:, 1] ** 2 + pos[:, 2] ** 2
                             + ab2 * pos[:, 3] ** 2)
@@ -202,11 +268,16 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
         rhs = (jtw @ fgn[:, :, None])[:, :, 0]
         delta = -np.linalg.solve(jtj, rhs[:, :, None])[:, :, 0]
         pos = np.where(act[:, None], pos + delta, pos)
+        if use_rate:
+            pos[:, 4] = np.clip(pos[:, 4], -2e-5, 2e-5)
         residual = np.where(act, np.linalg.norm(delta, axis=1), residual)
         n_iter += act
 
-    return [FixResult(rec_pos=pos[i], residual=float(residual[i]),
+    cdt_eff = cdt * (1.0 - pos[:, 4:5]) if use_rate else cdt
+    return [FixResult(rec_pos=pos[i, :4], residual=float(residual[i]),
                       range_est=range_est[i],
-                      meas_delay=cdt[i] + pos[i, 0],
-                      n_iter=int(n_iter[i]))
+                      meas_delay=cdt_eff[i] + pos[i, 0],
+                      n_iter=int(n_iter[i]),
+                      clock_rate=clock_rate_fix
+                      + (float(pos[i, 4]) if use_rate else 0.0))
             for i in range(E)]

@@ -20,7 +20,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.config import GPS_C, L1_FREQ, ReceiverConfig
+from gps_sdr_tpu.models import orbits
 from gps_sdr_tpu.models.ephemeris import SatStatus
 from gps_sdr_tpu.models.pseudorange import PseudorangeEngine
 from gps_sdr_tpu.ops.pvt import FixResult, solve_fix, solve_fix_batch
@@ -110,6 +111,10 @@ class Evaluator:
     stat: tuple | None = None        # (mean[3], std[3], n, n_outliers)
     last_pos_time: float | None = None
     warm_start: np.ndarray | None = None
+    clock_rate_est: float = 0.0      # filtered receiver-clock rate error
+                                     # (sample-clock skew) when
+                                     # cfg.solve_clock_rate; fed by a
+                                     # per-chunk free-rate side solve
     # per-epoch status for reporting
     err_msgs: dict = field(default_factory=dict)
     sweep_flags: dict = field(default_factory=dict)
@@ -223,7 +228,8 @@ class Evaluator:
         kw = dict(max_it=cfg.lsf_max_it,
                   max_residual=cfg.max_residual / 10,
                   height=cfg.height if cfg.conf_height else None,
-                  height_dev=cfg.height_dev)
+                  height_dev=cfg.height_dev,
+                  clock_rate_fix=self.clock_rate_est)
         for idxs in by_n.values():
             try:
                 res = solve_fix_batch(
@@ -296,6 +302,45 @@ class Evaluator:
                          len(window), len(self.outliers))
         return keep
 
+    # -- receiver-clock rate (sample-clock skew) estimation --
+
+    def _update_clock_rate(self, frames: list, sat_res: list) -> None:
+        """Estimate the fractional receiver-clock rate error y from the
+        COMMON carrier-frequency offset: one oscillator drives both the
+        LO and the ADC, so every tracked carrier reads
+        f_trk = f_geometric - y*L1.  With a position and ephemerides,
+        f_geometric is computable per satellite, and the median of
+        (f_geo - f_trk)/L1 observes y to ~1e-9 per chunk — unlike a
+        free rate unknown in the fix, whose column is near-collinear
+        with height and amplifies model noise ~1000x.  The estimate
+        de-scales the pseudorange delay differences (solve_fix
+        clock_rate_fix), replacing the reference's mandatory
+        SDR_FREQCORR calibration (README.md:204-217)."""
+        if self.warm_start is None or not sat_res:
+            return
+        rec = np.asarray(self.warm_start[1:4], np.float64)
+        last = max(sat_res, key=lambda r: (r[1], r[7]))
+        tow, cyc = last[1], last[7]
+        dt = cyc * self.cfg.n_cyc / 1000.0
+        freq = {sf["SAT"]: sf["FRQ"] for sf in frames
+                if sf.get("SAT") is not None and "FRQ" in sf}
+        ys = []
+        for sat_no, f_trk in freq.items():
+            eng = self.engines.get(sat_no)
+            if eng is None or not eng.ephem_ok:
+                continue
+            p = [np.array(orbits.ecef_coord(
+                    tow, eng.ephem, dt_from_tow=dt + h)[:3])
+                 for h in (-0.5, 0.5)]
+            rate = (np.linalg.norm(p[1] - rec)
+                    - np.linalg.norm(p[0] - rec))
+            f_geo = -rate / GPS_C * L1_FREQ
+            ys.append((f_geo - f_trk) / L1_FREQ)
+        if len(ys) >= 4:
+            y_obs = float(np.median(ys))
+            a = 0.3 if self.clock_rate_est != 0.0 else 1.0
+            self.clock_rate_est += a * (y_obs - self.clock_rate_est)
+
     # -- public entry --
 
     def process(self, epoch: EpochInput) -> dict:
@@ -304,6 +349,8 @@ class Evaluator:
         cpl = self._prep_code_phases(epoch.code_phases)
         sat_res, active, gps_time = self._eval_sats(epoch.frames, cpl)
         sat_pos_list, rec_pos, fails = self._fix_epochs(sat_res)
+        if self.cfg.solve_clock_rate:
+            self._update_clock_rate(epoch.frames, sat_res)
         self.fix_failures += fails
         kept = self._update_stats(rec_pos) if rec_pos else []
         self.positions += [list(map(float, p)) for p in kept]

@@ -144,3 +144,48 @@ def test_fix_warm_start_converges_faster():
     warm = solve_fix(sat_pos, delays, rec_pos0=np.array([0.0, *REC]))
     assert warm.n_iter <= cold.n_iter
     assert np.linalg.norm(warm.rec_pos[1:] - REC) < 0.5
+
+
+def test_clock_rate_fix_removes_skew_bias():
+    """Sample-clock skew scales every delay DIFFERENCE by (1+y) — an
+    elevation-correlated pseudorange distortion no per-epoch clock bias
+    can absorb (the reference demands SDR_FREQCORR instead,
+    README.md:204-217).  Applying the known y via clock_rate_fix must
+    restore the unskewed fix."""
+    y = 2.0e-6
+    sat_pos = _sat_constellation(8, seed=7)
+    d = _delays(sat_pos)
+    d_skew = d[0] + (d - d[0]) * (1.0 + y)
+    biased = solve_fix(sat_pos, d_skew)
+    fixed = solve_fix(sat_pos, d_skew, clock_rate_fix=y)
+    err_b = np.linalg.norm(biased.rec_pos[1:] - REC)
+    err_f = np.linalg.norm(fixed.rec_pos[1:] - REC)
+    assert err_b > 2.0, f"skew bias unexpectedly small: {err_b:.2f} m"
+    assert err_f < 0.5, f"corrected error {err_f:.3f} m"
+
+
+def test_clock_rate_free_unknown_recovers_y():
+    """With >= 5 sats and noise-free delays the free rate unknown must
+    recover the injected skew and the position."""
+    y = 2.0e-6
+    sat_pos = _sat_constellation(9, seed=8)
+    d = _delays(sat_pos)
+    d_skew = d[0] + (d - d[0]) * (1.0 + y)
+    fix = solve_fix(sat_pos, d_skew, clock_rate=True, max_it=25)
+    assert abs(fix.clock_rate - y) < 1e-7, fix.clock_rate
+    assert np.linalg.norm(fix.rec_pos[1:] - REC) < 0.5
+
+
+def test_clock_rate_batch_matches_single():
+    from gps_sdr_tpu.ops.pvt import solve_fix_batch
+
+    y = 1.5e-6
+    sat_pos = np.stack([_sat_constellation(7, seed=40 + i)
+                        for i in range(3)])
+    delays = np.stack([_delays(sat_pos[i]) for i in range(3)])
+    delays = delays[:, :1] + (delays - delays[:, :1]) * (1.0 + y)
+    batch = solve_fix_batch(sat_pos, delays, clock_rate=True, max_it=25)
+    for i, fb in enumerate(batch):
+        fs = solve_fix(sat_pos[i], delays[i], clock_rate=True, max_it=25)
+        np.testing.assert_allclose(fb.rec_pos, fs.rec_pos, atol=1e-4)
+        assert abs(fb.clock_rate - fs.clock_rate) < 1e-9
