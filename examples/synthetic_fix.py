@@ -56,6 +56,15 @@ def parse_args():
                          "raising it amortizes per-call link latency "
                          "but coarsens the evaluation cadence — "
                          "accuracy is validated at the default)")
+    ap.add_argument("--osc-ppm", type=float, default=0.0,
+                    help="receiver TCXO fractional offset in ppm "
+                         "(the reference's +-2 ppm envelope: common "
+                         "Doppler offset + sample-clock skew; widens "
+                         "the search band and enables the clock-rate "
+                         "solver automatically)")
+    ap.add_argument("--osc-ppm-rate", type=float, default=0.0,
+                    help="TCXO drift in ppm/s (1.65e-3 ~ 2.6 Hz/s "
+                         "at L1)")
     ap.add_argument("--quiet", action="store_true",
                     help="suppress the per-second status table")
     return ap.parse_args()
@@ -77,17 +86,30 @@ def main():
     from gps_sdr_tpu.ui.headless import HeadlessReporter
 
     cfg = ReceiverConfig()
+    if args.osc_ppm or args.osc_ppm_rate:
+        # an uncorrected TCXO shifts every Doppler by ~ -ppm*1575.42 Hz
+        # in common: widen the search band around the shifted center and
+        # solve the matching sample-clock skew in the fix
+        from gps_sdr_tpu.config import L1_FREQ
+        f_off = -1e-6 * args.osc_ppm * L1_FREQ
+        cfg = cfg.replace(min_freq=round(f_off - 5000., -2),
+                          max_freq=round(f_off + 5000., -2),
+                          solve_clock_rate=True)
     n_blocks = int(round(args.sec / cfg.block_sec))
     print(f"synthesizing scenario: {args.sats} sats, {args.sec:.0f} s "
           f"({n_blocks} blocks), noise={args.noise}")
     scn = make_scenario(cfg, n_sats=args.sats, seed=args.seed,
-                        duration_sec=args.sec + 12.0)
+                        duration_sec=args.sec + 12.0,
+                        osc_ppm=args.osc_ppm,
+                        osc_ppm_rate=args.osc_ppm_rate)
 
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".synth_cache")
     os.makedirs(cache_dir, exist_ok=True)
+    osc_tag = (f"_{args.osc_ppm}_{args.osc_ppm_rate}"
+               if (args.osc_ppm or args.osc_ppm_rate) else "")
     key = hashlib.sha1(
-        f"scn_{args.sats}_{args.sec}_{args.noise}_{args.seed}_v3"
+        f"scn_{args.sats}_{args.sec}_{args.noise}_{args.seed}{osc_tag}_v3"
         .encode()).hexdigest()[:16]
     path = os.path.join(cache_dir, f"{key}.npy")
     t0 = time.time()
