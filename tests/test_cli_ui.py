@@ -133,3 +133,15 @@ def test_plot_ui_renders(tmp_path, epoch_records):
     html = ui.save_map(str(tmp_path / "m.html"))
     assert html and os.path.exists(html)
     ui.close()
+
+
+def test_cli_solve_clock_rate_flag():
+    """--solve-clock-rate must reach ReceiverConfig (the reference's
+    SDR_FREQCORR replacement, gpsglob.py:30 / README.md:204-217)."""
+    from gps_sdr_tpu.cli import build_parser, make_config
+
+    ap = build_parser()
+    args = ap.parse_args(["synth", "--solve-clock-rate"])
+    assert make_config(args).solve_clock_rate is True
+    args = ap.parse_args(["synth"])
+    assert make_config(args).solve_clock_rate is False
