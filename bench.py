@@ -445,8 +445,12 @@ def main():
         def provider_fl(first, n):
             return _slice_fl(buf_fl, jnp.int32(first), n)
 
-        rec_fl = Receiver(cfg)
-        ev_fl = Evaluator(cfg)
+        # throughput mode: consume window k on the host while the
+        # device computes window k+1 (identical outputs, +1 window of
+        # latency — tests/test_device_transport.py)
+        cfg_fl = cfg.replace(download_windows_in_flight=2)
+        rec_fl = Receiver(cfg_fl)
+        ev_fl = Evaluator(cfg_fl)
         t0 = None
         done_fl = 0
         for epoch in rec_fl.run_device(provider_fl, n_chunks_fl):
@@ -502,8 +506,9 @@ def main():
         def provider_sv(first, n):
             return _slice_sv(buf_sv, jnp.int32(first), n)
 
-        srv = StreamServer(cfg, n_sv)
-        evs = [Evaluator(cfg) for _ in range(n_sv)]
+        cfg_sv = cfg.replace(download_windows_in_flight=2)
+        srv = StreamServer(cfg_sv, n_sv)
+        evs = [Evaluator(cfg_sv) for _ in range(n_sv)]
         warm_ep = n_sv * min(cfg.chunks_per_download, n_chunks_sv - 1)
         t0 = None
         n_ep = 0

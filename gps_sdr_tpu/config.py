@@ -163,6 +163,13 @@ class ReceiverConfig:
                                     # <= 50/s at the 20 ms bit length;
                                     # overflow drops extras and counts
                                     # in ReceiverStatus.edge_overflows)
+    download_windows_in_flight: int = 1
+                                    # download windows dispatched ahead:
+                                    # at 2, the host downloads/consumes
+                                    # window k while the device computes
+                                    # window k+1 (throughput mode; adds
+                                    # one window of result latency).
+                                    # Identical outputs either way.
 
     # -- derived --
     @property

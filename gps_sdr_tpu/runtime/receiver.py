@@ -301,21 +301,26 @@ class Receiver:
         cfg = self.cfg
         t = chunk_blocks or cfg.no_sec
         cap = self._edge_cap(t)
+        w = max(1, cfg.chunks_per_download)
+        # windows dispatched ahead: at >= 2 the host's download+consume
+        # of window k overlaps the device computing window k+1
+        inflight = w * max(1, cfg.download_windows_in_flight)
         pending = []                    # [(chunk, packed_dev, stream0)]
 
-        def drain():
-            if not pending:
+        def drain(count=None):
+            take = pending if count is None else pending[:count]
+            if not take:
                 return
-            bufs = _stack_bufs(*[p[1] for p in pending]) \
-                if len(pending) > 1 else pending[0][1][None]
+            bufs = _stack_bufs(*[p[1] for p in take]) \
+                if len(take) > 1 else take[0][1][None]
             host = np.asarray(bufs)     # ONE tunnel transfer per window
-            for (chunk, _, stream0), row in zip(pending, host):
+            for (chunk, _, stream0), row in zip(take, host):
                 outs, dropped = unpack_outs_compact(
                     row, len(chunk), cfg.max_sat,
                     self._edge_sl, cap)
                 self.status.edge_overflows += int(dropped.sum())
                 yield self._consume_chunk(chunk, outs, stream0, 0)[0]
-            pending.clear()
+            del pending[:len(take)]
 
         for ci in range(n_chunks):
             if self._stop:
@@ -334,8 +339,8 @@ class Receiver:
             outs_dev, stream0 = self._dispatch_chunk(chunk)
             pending.append((chunk, pack_outs_compact(outs_dev, cap),
                             stream0))
-            if len(pending) >= max(1, cfg.chunks_per_download):
-                yield from drain()
+            if len(pending) >= inflight:
+                yield from drain(w)
         yield from drain()
 
     def _edge_cap(self, chunk_blocks: int) -> int:

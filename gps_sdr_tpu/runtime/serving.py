@@ -93,15 +93,18 @@ class StreamServer:
         t = chunk_blocks or cfg.no_sec
         cap = self.receivers[0]._edge_cap(t)
         sl = cfg.n_cyc + 1
+        w = max(1, cfg.chunks_per_download)
+        inflight = w * max(1, cfg.download_windows_in_flight)
         pending = []              # [(chunks, packed_dev, stream0)]
 
-        def drain():
-            if not pending:
+        def drain(count=None):
+            take = pending if count is None else pending[:count]
+            if not take:
                 return
-            bufs = _stack_windows(*[p[1] for p in pending]) \
-                if len(pending) > 1 else pending[0][1][None]
+            bufs = _stack_windows(*[p[1] for p in take]) \
+                if len(take) > 1 else take[0][1][None]
             host = np.asarray(bufs)            # ONE transfer per window
-            for (chunks, _, stream0), win in zip(pending, host):
+            for (chunks, _, stream0), win in zip(take, host):
                 for s, rec in enumerate(self.receivers):
                     outs, dropped = unpack_outs_compact(
                         win[s], t, cfg.max_sat, sl, cap)
@@ -116,7 +119,7 @@ class StreamServer:
                     if swept:
                         self._scatter_stream(s)
                     yield s, epoch
-            pending.clear()
+            del pending[:len(take)]
 
         for ci in range(n_chunks):
             first = ci * t
@@ -148,8 +151,8 @@ class StreamServer:
                 rec.status.stream_no += t
                 rec.status.blocks_processed += t
             pending.append((chunks, _pack_streams(outs, cap), stream0))
-            if len(pending) >= max(1, cfg.chunks_per_download):
-                yield from drain()
+            if len(pending) >= inflight:
+                yield from drain(w)
         yield from drain()
         # hand the final device states back to the receivers
         for s, rec in enumerate(self.receivers):

@@ -127,3 +127,22 @@ def test_run_device_batched_matches_run():
 
     assert rd.status.edge_overflows == 0
     assert _frames_key(dev_epochs) == _frames_key(host_epochs)
+
+
+def test_run_device_overlapped_windows_identical():
+    """download_windows_in_flight=2 (host consume of window k overlaps
+    device compute of window k+1) must yield the identical epoch
+    stream — only latency changes, never content."""
+    sats = SATS
+    n_chunks = 4
+    t = 24
+    epochs = {}
+    for wif in (1, 2):
+        cfg = CFG.replace(max_sat=2, chunks_per_download=2,
+                          download_windows_in_flight=wif)
+        synth = JaxSynth(cfg, sats, noise_std=0.2, seed=9)
+        r = _primed_receiver(cfg, sats)
+        epochs[wif] = list(r.run_device(synth.chunk_planar, n_chunks,
+                                        chunk_blocks=t))
+        assert r.status.edge_overflows == 0
+    assert _frames_key(epochs[1]) == _frames_key(epochs[2])
