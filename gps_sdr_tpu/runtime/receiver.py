@@ -302,25 +302,45 @@ class Receiver:
         t = chunk_blocks or cfg.no_sec
         cap = self._edge_cap(t)
         w = max(1, cfg.chunks_per_download)
-        # windows dispatched ahead: at >= 2 the host's download+consume
-        # of window k overlaps the device computing window k+1
-        inflight = w * max(1, cfg.download_windows_in_flight)
-        pending = []                    # [(chunk, packed_dev, stream0)]
+        # windows in flight: at >= 2 the host's consume of window k
+        # overlaps both the device computing window k+1 AND the
+        # device->host transfer of window k+1 (started async the moment
+        # its stack is formed)
+        inflight = max(1, cfg.download_windows_in_flight)
+        held = []                       # [(chunk, packed_dev, stream0)]
+        windows = []                    # [(items, stacked_dev)]
+
+        def flush_held():
+            # every batched transfer stacks EXACTLY w buffers (partial
+            # windows pad by repeating the last buffer and unpack only
+            # the valid prefix) so _stack_bufs compiles once, during
+            # warmup: a leftover-count stack would recompile (~0.4 s)
+            # inside the steady-state loop, which alone cost the full
+            # receiver ~2x realtime factor
+            if not held:
+                return
+            bufs = [p[1] for p in held]
+            if w > 1:
+                bufs = bufs + [bufs[-1]] * (w - len(bufs))
+                stacked = _stack_bufs(*bufs)
+            else:
+                stacked = bufs[0][None]
+            _copy_to_host_async(stacked)
+            windows.append((held[:], stacked))
+            held.clear()
 
         def drain(count=None):
-            take = pending if count is None else pending[:count]
-            if not take:
-                return
-            bufs = _stack_bufs(*[p[1] for p in take]) \
-                if len(take) > 1 else take[0][1][None]
-            host = np.asarray(bufs)     # ONE tunnel transfer per window
-            for (chunk, _, stream0), row in zip(take, host):
-                outs, dropped = unpack_outs_compact(
-                    row, len(chunk), cfg.max_sat,
-                    self._edge_sl, cap)
-                self.status.edge_overflows += int(dropped.sum())
-                yield self._consume_chunk(chunk, outs, stream0, 0)[0]
-            del pending[:len(take)]
+            n = len(windows) if count is None else count
+            while n > 0 and windows:
+                take, stacked = windows.pop(0)
+                host = np.asarray(stacked)  # ONE tunnel transfer/window
+                for (chunk, _, stream0), row in zip(take, host):
+                    outs, dropped = unpack_outs_compact(
+                        row, len(chunk), cfg.max_sat,
+                        self._edge_sl, cap)
+                    self.status.edge_overflows += int(dropped.sum())
+                    yield self._consume_chunk(chunk, outs, stream0, 0)[0]
+                n -= 1
 
         for ci in range(n_chunks):
             if self._stop:
@@ -331,16 +351,20 @@ class Receiver:
                 # channel set changes states: drain the pipeline first.
                 # acquisition needs one block on the host (f32 pairs —
                 # the tunnel cannot download complex64)
+                flush_held()
                 yield from drain()
                 blk0 = _download_block(blocks_dev, 0)
                 self._serve_sweep_all(blk0)
             chunk = _DeviceChunk(blocks_dev)
             self.status.stream_no = first
             outs_dev, stream0 = self._dispatch_chunk(chunk)
-            pending.append((chunk, pack_outs_compact(outs_dev, cap),
-                            stream0))
-            if len(pending) >= inflight:
-                yield from drain(w)
+            held.append((chunk, pack_outs_compact(outs_dev, cap),
+                         stream0))
+            if len(held) == w:
+                flush_held()
+            if len(windows) >= inflight:
+                yield from drain(1)
+        flush_held()
         yield from drain()
 
     def _edge_cap(self, chunk_blocks: int) -> int:
@@ -373,6 +397,23 @@ class _DeviceChunk:
 def _stack_bufs(*bufs):
     """Stack N compact transport buffers for one batched download."""
     return jnp.stack(bufs)
+
+
+_ASYNC_COPY_OK = True
+
+
+def _copy_to_host_async(arr) -> None:
+    """Start the device->host transfer without blocking, so the later
+    np.asarray finds the bytes already local.  Best-effort: backends
+    without the API (or tunnels rejecting it) degrade to the blocking
+    transfer inside drain."""
+    global _ASYNC_COPY_OK
+    if not _ASYNC_COPY_OK:
+        return
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        _ASYNC_COPY_OK = False
 
 
 @functools.partial(jax.jit, static_argnums=1)

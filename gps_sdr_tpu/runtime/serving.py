@@ -26,6 +26,7 @@ from gps_sdr_tpu.config import ReceiverConfig
 from gps_sdr_tpu.ops.tracking import (pack_outs_compact, track_streams,
                                       unpack_outs_compact)
 from gps_sdr_tpu.runtime.receiver import (Receiver, _DeviceChunk,
+                                          _copy_to_host_async,
                                           _download_block)
 
 
@@ -94,38 +95,62 @@ class StreamServer:
         cap = self.receivers[0]._edge_cap(t)
         sl = cfg.n_cyc + 1
         w = max(1, cfg.chunks_per_download)
-        inflight = w * max(1, cfg.download_windows_in_flight)
-        pending = []              # [(chunks, packed_dev, stream0)]
+        inflight = max(1, cfg.download_windows_in_flight)
+        held = []                 # [(chunks, packed_dev, stream0)]
+        windows = []              # [(items, stacked_dev)]
+
+        def flush_held():
+            # fixed-size stacks only (pad partial windows, unpack the
+            # valid prefix): a leftover-count _stack_windows would
+            # recompile (~0.4 s) inside the steady-state serving loop.
+            # The host copy starts async so the transfer overlaps the
+            # consume of the previous window.
+            if not held:
+                return
+            bufs = [p[1] for p in held]
+            if w > 1:
+                bufs = bufs + [bufs[-1]] * (w - len(bufs))
+                stacked = _stack_windows(*bufs)
+            else:
+                stacked = bufs[0][None]
+            _copy_to_host_async(stacked)
+            windows.append((held[:], stacked))
+            held.clear()
 
         def drain(count=None):
-            take = pending if count is None else pending[:count]
-            if not take:
-                return
-            bufs = _stack_windows(*[p[1] for p in take]) \
-                if len(take) > 1 else take[0][1][None]
-            host = np.asarray(bufs)            # ONE transfer per window
-            for (chunks, _, stream0), win in zip(take, host):
-                for s, rec in enumerate(self.receivers):
-                    outs, dropped = unpack_outs_compact(
-                        win[s], t, cfg.max_sat, sl, cap)
-                    rec.status.edge_overflows += int(dropped.sum())
-                    # expose this stream's device state to the host-side
-                    # channel manager (re-sweeps reset slots on it)
-                    rec.states = jax.tree.map(
-                        lambda x, _s=s: x[_s], self._stacked)
-                    chunk = _DeviceChunk(chunks[s if not shared else 0])
-                    epoch, swept = rec._consume_chunk(chunk, outs,
-                                                      stream0, 0)
-                    if swept:
-                        self._scatter_stream(s)
-                    yield s, epoch
-            del pending[:len(take)]
+            n = len(windows) if count is None else count
+            while n > 0 and windows:
+                take, stacked = windows.pop(0)
+                host = np.asarray(stacked)     # ONE transfer per window
+                for (chunks, _, stream0), win in zip(take, host):
+                    for s, rec in enumerate(self.receivers):
+                        outs, dropped = unpack_outs_compact(
+                            win[s], t, cfg.max_sat, sl, cap)
+                        rec.status.edge_overflows += int(dropped.sum())
+                        # expose this stream's device state to the
+                        # host-side channel manager ONLY when a re-sweep
+                        # will actually fire (it resets slots on it):
+                        # slicing every state leaf for every stream
+                        # every chunk costs S x n_leaves tiny device
+                        # dispatches per chunk of pure overhead
+                        if bool(outs.sweep_request[-1].any()):
+                            rec.states = jax.tree.map(
+                                lambda x, _s=s: x[_s], self._stacked)
+                        chunk = _DeviceChunk(chunks[s if not shared
+                                                    else 0])
+                        epoch, swept = rec._consume_chunk(chunk, outs,
+                                                          stream0, 0)
+                        if swept:
+                            self._scatter_stream(s)
+                        yield s, epoch
+                n -= 1
 
         for ci in range(n_chunks):
             first = ci * t
             chunks = ([providers[0](first, t)] if shared
                       else [p(first, t) for p in providers])
             if any(r.sweep_all for r in self.receivers):
+                flush_held()
                 yield from drain()
                 for s, rec in enumerate(self.receivers):
                     if not rec.sweep_all:
@@ -150,9 +175,12 @@ class StreamServer:
             for rec in self.receivers:
                 rec.status.stream_no += t
                 rec.status.blocks_processed += t
-            pending.append((chunks, _pack_streams(outs, cap), stream0))
-            if len(pending) >= inflight:
-                yield from drain(w)
+            held.append((chunks, _pack_streams(outs, cap), stream0))
+            if len(held) == w:
+                flush_held()
+            if len(windows) >= inflight:
+                yield from drain(1)
+        flush_held()
         yield from drain()
         # hand the final device states back to the receivers
         for s, rec in enumerate(self.receivers):
