@@ -354,9 +354,14 @@ class NavDecoder:
         of its preamble's first bit edge.
         """
         nb, ns = self._frame_bits()
+        out = []
+        if nb.size == 0:
+            # no new bits: the previous scan already consumed every
+            # decodable subframe from the (unchanged) buffer, so the
+            # correlation scan would deterministically find nothing new
+            return out
         self.bits = np.concatenate([self.bits, nb])
         self.bits_st = np.concatenate([self.bits_st, ns])
-        out = []
         bits = self.bits
         if len(bits) < SUBFRAME_BITS:
             return out

@@ -28,6 +28,20 @@ MAX_SLOPE = 6.55e-3     # samples/ms; max physical code-phase drift
                         # (|doppler| <= 5 kHz -> 6.5 samples/s; gpslib.py:812)
 
 
+def _linfit(x, y) -> tuple[float, float]:
+    """Degree-1 least squares (slope, intercept) in f64 — the closed
+    form; np.polyfit's generic Vandermonde/lstsq machinery costs ~10x
+    more per call and this runs once per satellite per chunk."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    mx = x.mean()
+    my = y.mean()
+    dx = x - mx
+    denom = float(dx @ dx)
+    slope = float(dx @ (y - my)) / denom if denom else 0.0
+    return slope, my - slope * mx
+
+
 def max_slope(cfg: ReceiverConfig) -> float:
     """Code-phase slope cap [samples/ms] for this config's envelope.
 
@@ -43,6 +57,47 @@ def max_slope(cfg: ReceiverConfig) -> float:
     f_max = max(abs(cfg.min_freq), abs(cfg.max_freq)) + 500.0
     return max(MAX_SLOPE,
                f_max / 1540.0 * (cfg.code_samples / 1023.0) * 1e-3)
+
+
+@dataclass
+class DeferredRows:
+    """One satellite's pseudorange bookkeeping, orbit propagation still
+    pending — lets the evaluator batch ecef_coord across satellites."""
+
+    sat_no: int
+    week_num: int
+    sigma: float
+    ephem: dict
+    rows: list              # (tow, delta_st, smp_raw, cyc_no)
+
+
+def finish_deferred(deferred: list, cfg: ReceiverConfig,
+                    rel_corr: bool = True) -> list:
+    """Run ONE vectorized orbit propagation over every satellite's rows
+    and emit the reference-format result tuples, grouped per satellite
+    in input order.  All ecef_coord math is elementwise, so stacking
+    rows across satellites is bit-identical to per-satellite calls."""
+    if not deferred:
+        return []
+    fs = cfg.sample_rate
+    counts = [len(d.rows) for d in deferred]
+    tow_a = np.array([r[0] for d in deferred for r in d.rows], np.float64)
+    dst_a = np.array([r[1] for d in deferred for r in d.rows], np.float64)
+    eph = {k: np.repeat([d.ephem[k] for d in deferred], counts)
+           for k in deferred[0].ephem
+           if isinstance(deferred[0].ephem[k], (int, float, np.floating))}
+    x, y, z, dtsv = orbits.ecef_coord(tow_a, eph, dt_from_tow=dst_a / fs,
+                                      rel_corr=rel_corr)
+    dtsv = np.broadcast_to(np.asarray(dtsv, np.float64), tow_a.shape)
+    result = []
+    i = 0
+    for d in deferred:
+        for (tw, _, smp_raw, cyc) in d.rows:
+            result.append((d.sat_no, int(tw), float(x[i]), float(y[i]),
+                           float(z[i]), smp_raw / fs + float(dtsv[i]),
+                           d.week_num, int(cyc), d.sigma))
+            i += 1
+    return result
 
 
 @dataclass
@@ -112,8 +167,8 @@ class PseudorangeEngine:
         averaged, clipped slope in samples/ms (getStdDev,
         gpslib.py:864-883)."""
         if len(cps) > 3:
-            p = np.polyfit(snos, cps, 1)
-            sigma = float(np.std(cps - np.polyval(p, snos)))
+            p = _linfit(snos, cps)
+            sigma = float(np.std(cps - (p[0] * snos + p[1])))
             self.slope_hist.append(p[0] / self.cfg.n_cyc)
             max_hist = 1024 // self.cfg.n_cyc
             if len(self.slope_hist) > max_hist:
@@ -129,7 +184,8 @@ class PseudorangeEngine:
 
     # -- main entry ----------------------------------------------------------
 
-    def eval_code_phases(self, cpl: list, rel_corr: bool = True) -> list:
+    def eval_code_phases(self, cpl: list, rel_corr: bool = True,
+                         defer: bool = False):
         """Code-phase list [(stream_no, code_phase), ...] -> result tuples.
 
         Mirrors evalCodePhase (gpslib.py:897-1039).  A leading
@@ -181,8 +237,8 @@ class PseudorangeEngine:
         if gap > self.MIN_GAP:
             if len(self.cp_hist) >= n_cyc // 2:
                 hx, hy = zip(*self.cp_hist[-self.MAX_FIT:])
-                p = np.polyfit(hx, hy, 1)
-                self.last_cp = float(np.polyval(p, snos[0]))
+                sl, ic = _linfit(hx, hy)
+                self.last_cp = float(sl * snos[0] + ic)
             else:
                 self._clear_ref()
                 return result
@@ -254,6 +310,13 @@ class PseudorangeEngine:
                     self.ref_time = (tow, int(st + cp % cs))
 
         if rows:
+            if defer:
+                # cross-satellite orbit batching: hand the bookkeeping
+                # back so the evaluator can run ONE vectorized
+                # ecef_coord over every satellite's rows (elementwise
+                # math -> bit-identical to the per-sat call)
+                return DeferredRows(self.sat_no, int(week_num), sigma,
+                                    dict(self.ref_ephem), rows)
             tow_a = np.array([r[0] for r in rows], dtype=np.float64)
             dst_a = np.array([r[1] for r in rows], dtype=np.float64)
             x, y, z, dtsv = orbits.ecef_coord(

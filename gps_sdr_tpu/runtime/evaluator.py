@@ -23,7 +23,8 @@ import numpy as np
 from gps_sdr_tpu.config import GPS_C, L1_FREQ, ReceiverConfig
 from gps_sdr_tpu.models import orbits
 from gps_sdr_tpu.models.ephemeris import SatStatus
-from gps_sdr_tpu.models.pseudorange import PseudorangeEngine
+from gps_sdr_tpu.models.pseudorange import (PseudorangeEngine,
+                                            finish_deferred)
 from gps_sdr_tpu.ops.pvt import FixResult, solve_fix, solve_fix_batch
 from gps_sdr_tpu.utils.gpstime import gps_datetime
 
@@ -169,18 +170,22 @@ class Evaluator:
                 eng.read_frame(sf)
 
         active = set()
+        deferred = []
         for sat_no, lst in cpl.items():
             eng = self.engine(sat_no)
             if eng.status > SatStatus.NOT_READY:
                 self.err_msgs[sat_no] = eng.status.name
-            res = eng.eval_code_phases(lst)
-            if res:
-                sat_res += res
+            d = eng.eval_code_phases(lst, defer=True)
+            if d:
+                deferred.append(d)
                 active.add(sat_no)
-                if gps_time is None:
-                    tow, week, cyc = res[0][1], res[0][6], res[0][7]
-                    gps_time = gps_datetime(tow, week) + datetime.timedelta(
-                        seconds=cyc * self.cfg.n_cyc / 1000)
+        # ONE vectorized orbit propagation across all satellites' rows
+        sat_res = finish_deferred(deferred, self.cfg)
+        if sat_res:
+            tow, week, cyc = (sat_res[0][1], sat_res[0][6],
+                              sat_res[0][7])
+            gps_time = gps_datetime(tow, week) + datetime.timedelta(
+                seconds=cyc * self.cfg.n_cyc / 1000)
         return sat_res, active, gps_time
 
     # -- epoch grouping + fix (ecefPositions, gpseval.py:235-317) --
