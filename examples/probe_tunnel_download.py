@@ -20,7 +20,10 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-@jax.jit
+import functools  # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnums=1)
 def make(key, n):
     return jax.random.uniform(key, (n,), jnp.float32)
 
@@ -43,7 +46,7 @@ def try_download(n_mb: float, tag: str) -> str:
 
 def main():
     print(f"backend: {jax.devices()[0].platform}", flush=True)
-    sizes = [1, 4, 16, 64, 128, 256, 512, 1024]
+    sizes = [1, 4, 16, 64, 256, 1024]
     print("-- plain downloads, increasing size --", flush=True)
     for mb in sizes:
         print(f"{mb:6d} MB: {try_download(mb, 'plain')}", flush=True)
@@ -63,18 +66,18 @@ def main():
     for h in hold:
         h.delete()
 
-    print("-- rapid-fire small-then-large alternation x20 --", flush=True)
+    print("-- rapid-fire small-then-large alternation x6 --", flush=True)
     fails = 0
-    for i in range(20):
+    for i in range(6):
         r1 = try_download(1, "alt")
         r2 = try_download(256, "alt")
         if "FAIL" in r1 + r2:
             fails += 1
             print(f"  iter {i}: {r1} | {r2}", flush=True)
-    print(f"alternation failures: {fails}/20", flush=True)
+    print(f"alternation failures: {fails}/6", flush=True)
 
-    print("-- async copy then download x5 --", flush=True)
-    for i in range(5):
+    print("-- async copy then download x3 --", flush=True)
+    for i in range(3):
         x = make(jax.random.key(100 + i), (256 << 20) // 4)
         x.block_until_ready()
         try:

@@ -225,33 +225,43 @@ class Evaluator:
             jobs.append((tow, cyc, group[0][6], group, coords, delays,
                          sigmas))
 
-        # pass 2: batched solves, grouped by satellite count
+        # pass 2: ONE stacked solve for all epochs.  Epochs with fewer
+        # satellites pad to the chunk's max count by duplicating their
+        # last satellite at sigma 1e7 (weight ~1e-14 of a real row — a
+        # sub-nanometer perturbation), so the whole second runs as a
+        # single [E, 4, 4] GN instead of one batch per satellite count.
         fixes: dict[int, FixResult] = {}
-        by_n: dict[int, list[int]] = {}
-        for j, job in enumerate(jobs):
-            by_n.setdefault(len(job[3]), []).append(j)
         kw = dict(max_it=cfg.lsf_max_it,
                   max_residual=cfg.max_residual / 10,
                   height=cfg.height if cfg.conf_height else None,
                   height_dev=cfg.height_dev,
                   clock_rate_fix=self.clock_rate_est)
-        for idxs in by_n.values():
+        if jobs:
+            E = len(jobs)
+            n_max = max(len(j[3]) for j in jobs)
+            coords = np.empty((E, 3, n_max))
+            delays = np.empty((E, n_max))
+            sig = np.full((E, n_max), 1.0e7)
+            for i, job in enumerate(jobs):
+                n = len(job[3])
+                coords[i, :, :n] = job[4]
+                delays[i, :n] = job[5]
+                sig[i, :n] = job[6] if cfg.lsf_weight else 1.0
+                if n < n_max:
+                    coords[i, :, n:] = job[4][:, -1:]
+                    delays[i, n:] = job[5][-1]
             try:
-                res = solve_fix_batch(
-                    np.stack([jobs[j][4] for j in idxs]),
-                    np.stack([jobs[j][5] for j in idxs]),
-                    std_dev=(np.stack([jobs[j][6] for j in idxs])
-                             if cfg.lsf_weight else None),
-                    rec_pos0=self.warm_start, **kw)
-                fixes.update(zip(idxs, res))
+                res = solve_fix_batch(coords, delays, std_dev=sig,
+                                      rec_pos0=self.warm_start, **kw)
+                fixes.update(enumerate(res))
             except Exception:
                 # singular geometry somewhere in the stack: retry each
                 # epoch alone so only the bad one records EXCEPTION
-                for j in idxs:
+                for j, job in enumerate(jobs):
                     try:
                         fixes[j] = solve_fix(
-                            jobs[j][4], jobs[j][5],
-                            std_dev=(jobs[j][6] if cfg.lsf_weight
+                            job[4], job[5],
+                            std_dev=(job[6] if cfg.lsf_weight
                                      else None),
                             rec_pos0=self.warm_start, **kw)
                     except Exception:
