@@ -424,10 +424,15 @@ def main():
         from gps_sdr_tpu.runtime.evaluator import Evaluator
         from gps_sdr_tpu.runtime.receiver import Receiver
 
-        fl_sec = float(os.environ.get("BENCH_FULL_SEC", "48"))
+        fl_sec = float(os.environ.get("BENCH_FULL_SEC", "96"))
+        # throughput mode: 16-chunk download windows (2x the product
+        # default, which favors latency) — the tunnel's fixed ~30-60 ms
+        # per-transfer cost is the full-loop floor, so fewer, larger
+        # windows buy RTF directly
+        w_fl = 16
         t_fl = cfg.no_sec
         n_chunks_fl = int(round(fl_sec / (t_fl * cfg.block_sec)))
-        warm_fl = min(cfg.chunks_per_download, n_chunks_fl - 1)
+        warm_fl = min(w_fl, n_chunks_fl - 1)
         scn = make_scenario(cfg, n_sats=10, seed=3,
                             duration_sec=fl_sec + 12.0)
         devsyn = DeviceScenarioSynth(scn, noise_std=0.5)
@@ -448,7 +453,8 @@ def main():
         # throughput mode: consume window k on the host while the
         # device computes window k+1 (identical outputs, +1 window of
         # latency — tests/test_device_transport.py)
-        cfg_fl = cfg.replace(download_windows_in_flight=2)
+        cfg_fl = cfg.replace(download_windows_in_flight=2,
+                             chunks_per_download=w_fl)
         rec_fl = Receiver(cfg_fl)
         ev_fl = Evaluator(cfg_fl)
         t0 = None
@@ -485,8 +491,9 @@ def main():
         from gps_sdr_tpu.runtime.evaluator import Evaluator
         from gps_sdr_tpu.runtime.serving import StreamServer
 
-        sv_sec = float(os.environ.get("BENCH_SERVE_SEC", "40"))
+        sv_sec = float(os.environ.get("BENCH_SERVE_SEC", "64"))
         n_sv = int(os.environ.get("BENCH_SERVE_STREAMS", "8"))
+        w_sv = 16
         t_sv = cfg.no_sec
         n_chunks_sv = int(round(sv_sec / (t_sv * cfg.block_sec)))
         scn_sv = make_scenario(cfg, n_sats=10, seed=5,
@@ -506,10 +513,11 @@ def main():
         def provider_sv(first, n):
             return _slice_sv(buf_sv, jnp.int32(first), n)
 
-        cfg_sv = cfg.replace(download_windows_in_flight=2)
+        cfg_sv = cfg.replace(download_windows_in_flight=2,
+                             chunks_per_download=w_sv)
         srv = StreamServer(cfg_sv, n_sv)
         evs = [Evaluator(cfg_sv) for _ in range(n_sv)]
-        warm_ep = n_sv * min(cfg.chunks_per_download, n_chunks_sv - 1)
+        warm_ep = n_sv * min(w_sv, n_chunks_sv - 1)
         t0 = None
         n_ep = 0
         for s, epoch in srv.run(provider_sv, n_chunks_sv):

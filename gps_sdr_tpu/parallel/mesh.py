@@ -22,6 +22,20 @@ from jax.sharding import Mesh
 
 TIME_AXIS = "time"
 CH_AXIS = "ch"
+STREAM_AXIS = "stream"
+
+
+def make_stream_mesh(n_devices: int | None = None) -> Mesh:
+    """One-axis ``stream`` mesh for serving scale-out: S independent
+    receiver streams are embarrassingly parallel (no cross-stream
+    state), so sharding the leading stream axis of track_streams over
+    devices is collective-free and scales near-linearly — the
+    production multi-chip serving shape (one pod front-ending a fleet
+    of antennas)."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return Mesh(np.asarray(devs[:n_devices]), (STREAM_AXIS,))
 
 
 def factor2(n: int) -> tuple[int, int]:

@@ -50,12 +50,25 @@ class StreamServer:
     outputs cross the link as ONE windowed transfer.
     """
 
-    def __init__(self, cfg: ReceiverConfig, n_streams: int):
+    def __init__(self, cfg: ReceiverConfig, n_streams: int, mesh=None):
+        """mesh: optional one-axis jax.sharding.Mesh
+        (parallel.mesh.make_stream_mesh) to shard the stream axis over
+        devices — serving scale-out; n_streams must divide by its size."""
         self.cfg = cfg
         self.receivers = [Receiver(cfg) for _ in range(n_streams)]
         self._stacked = None        # ChannelState with leading [S]
         self._codes_dev = None      # [S, C, cs]
         self._ffts_dev = None
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from gps_sdr_tpu.parallel.mesh import STREAM_AXIS
+            if n_streams % mesh.shape[STREAM_AXIS]:
+                raise ValueError(
+                    f"{n_streams} streams not divisible over "
+                    f"{mesh.shape[STREAM_AXIS]} devices")
+            self._sharding = NamedSharding(mesh,
+                                           PartitionSpec(STREAM_AXIS))
 
     @property
     def n_streams(self) -> int:
@@ -63,20 +76,28 @@ class StreamServer:
 
     def _restack(self) -> None:
         self._stacked = jax.tree.map(
-            lambda *x: jnp.stack(x), *[r.states for r in self.receivers])
-        self._codes_dev = jnp.stack(
-            [r._codes_dev for r in self.receivers])
-        self._ffts_dev = jnp.stack([r._ffts_dev for r in self.receivers])
+            lambda *x: self._put(jnp.stack(x)),
+            *[r.states for r in self.receivers])
+        self._codes_dev = self._put(jnp.stack(
+            [r._codes_dev for r in self.receivers]))
+        self._ffts_dev = self._put(jnp.stack(
+            [r._ffts_dev for r in self.receivers]))
+
+    def _put(self, x):
+        """Lay a stream-major array out over the stream mesh (no-op in
+        single-device serving)."""
+        return x if self._sharding is None else jax.device_put(
+            x, self._sharding)
 
     def _scatter_stream(self, s: int) -> None:
         """Push receiver s's (host-managed) state back into the stack."""
         self._stacked = jax.tree.map(
-            lambda big, x: big.at[s].set(x), self._stacked,
+            lambda big, x: self._put(big.at[s].set(x)), self._stacked,
             self.receivers[s].states)
-        self._codes_dev = self._codes_dev.at[s].set(
-            self.receivers[s]._codes_dev)
-        self._ffts_dev = self._ffts_dev.at[s].set(
-            self.receivers[s]._ffts_dev)
+        self._codes_dev = self._put(self._codes_dev.at[s].set(
+            self.receivers[s]._codes_dev))
+        self._ffts_dev = self._put(self._ffts_dev.at[s].set(
+            self.receivers[s]._ffts_dev))
 
     def run(self, providers, n_chunks: int,
             chunk_blocks: int | None = None):
@@ -166,7 +187,7 @@ class StreamServer:
                 if self._stacked is None:      # cold start: first stack
                     self._restack()
             stream0 = self.receivers[0].status.stream_no + 1
-            blocks = (jnp.broadcast_to(
+            blocks = self._put(jnp.broadcast_to(
                 chunks[0][None], (s_n,) + chunks[0].shape)
                 if shared else jnp.stack(chunks))
             self._stacked, outs = track_streams(

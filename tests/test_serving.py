@@ -48,3 +48,31 @@ def test_stream_server_matches_single_receiver():
     # both streams acquired the scenario's satellites
     for rec in srv.receivers:
         assert len(rec.slots.active) >= 3
+
+
+def test_stream_server_sharded_matches_unsharded():
+    """Stream axis sharded over a 4-device mesh == single-device run.
+
+    Streams share no state, so the mesh layout must be a pure
+    performance choice (parallel/mesh.py make_stream_mesh)."""
+    from gps_sdr_tpu.parallel.mesh import make_stream_mesh
+
+    scn = make_scenario(CFG, n_sats=4, duration_sec=SEC + 6.0, seed=7)
+    dev = DeviceScenarioSynth(scn, noise_std=0.4)
+    t = CFG.no_sec
+    n_chunks = int(round(SEC / (t * CFG.block_sec)))
+
+    plain = StreamServer(CFG, 4)
+    got_p = {s: [] for s in range(4)}
+    for s, epoch in plain.run(dev.chunk_planar, n_chunks):
+        got_p[s].append(epoch)
+
+    srv = StreamServer(CFG, 4, mesh=make_stream_mesh(4))
+    got_m = {s: [] for s in range(4)}
+    for s, epoch in srv.run(dev.chunk_planar, n_chunks):
+        got_m[s].append(epoch)
+
+    for s in range(4):
+        assert len(got_m[s]) == len(got_p[s]) > 0
+        for ea, eb in zip(got_m[s], got_p[s]):
+            _epochs_equal(ea, eb)
