@@ -41,6 +41,18 @@ def _stack_windows(*bufs):
     return jnp.stack(bufs)                      # [N, S, L]
 
 
+@jax.jit
+def _slice_stream(tree, s):
+    """One stream's state slice as ONE jitted program.  Eagerly
+    indexing every leaf (`x[s]`) dispatches ~20 tiny device ops and —
+    through the deployment tunnel — pays a slow remote compile per
+    distinct leaf shape; measured ~5 s inside the serving steady state
+    for the end-of-run handback alone."""
+    return jax.tree.map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, s, keepdims=False),
+        tree)
+
+
 class StreamServer:
     """Serve S independent receivers from one device.
 
@@ -155,8 +167,8 @@ class StreamServer:
                         # every chunk costs S x n_leaves tiny device
                         # dispatches per chunk of pure overhead
                         if bool(outs.sweep_request[-1].any()):
-                            rec.states = jax.tree.map(
-                                lambda x, _s=s: x[_s], self._stacked)
+                            rec.states = _slice_stream(
+                                self._stacked, jnp.int32(s))
                         chunk = _DeviceChunk(chunks[s if not shared
                                                     else 0])
                         epoch, swept = rec._consume_chunk(chunk, outs,
@@ -179,8 +191,8 @@ class StreamServer:
                     blk0 = _download_block(chunks[s if not shared else 0],
                                            0)
                     if self._stacked is not None:
-                        rec.states = jax.tree.map(
-                            lambda x, _s=s: x[_s], self._stacked)
+                        rec.states = _slice_stream(self._stacked,
+                                                   jnp.int32(s))
                     rec._serve_sweep_all(blk0)
                     if self._stacked is not None:
                         self._scatter_stream(s)
@@ -205,4 +217,4 @@ class StreamServer:
         yield from drain()
         # hand the final device states back to the receivers
         for s, rec in enumerate(self.receivers):
-            rec.states = jax.tree.map(lambda x, _s=s: x[_s], self._stacked)
+            rec.states = _slice_stream(self._stacked, jnp.int32(s))
