@@ -45,15 +45,30 @@ _PAR_TAPS = {
 }
 
 
+# tap matrix [6, 24] and seed-source row selector for the vectorized form
+_TAPS_MAT = np.zeros((6, 24), dtype=np.int8)
+_SEED29 = np.zeros(6, dtype=np.int8)
+for _k in range(24, 30):
+    _s, _taps = _PAR_TAPS[_k]
+    _TAPS_MAT[_k - 24, _taps] = 1
+    _SEED29[_k - 24] = 1 if _s == "DS29" else 0
+
+
 def word_parity(d: np.ndarray, ds29: int, ds30: int) -> np.ndarray:
     """Six parity bits for 24 source bits `d` given the previous word's
     transmitted bits 29/30."""
-    seed = {"DS29": ds29, "DS30": ds30}
-    out = np.empty(6, dtype=np.int8)
-    for k in range(24, 30):
-        s, taps = _PAR_TAPS[k]
-        out[k - 24] = (seed[s] + int(np.sum(d[taps]))) % 2
-    return out
+    seed = np.where(_SEED29 == 1, ds29, ds30)
+    return ((seed + _TAPS_MAT @ d.astype(np.int32)) % 2).astype(np.int8)
+
+
+def words_parity(d: np.ndarray, ds29: np.ndarray,
+                 ds30: np.ndarray) -> np.ndarray:
+    """word_parity for a batch: d[N, 24], ds29/ds30[N] -> [N, 6].
+
+    One matmul replaces the reference's per-word tap loop
+    (gpslib.py:379-405) across all N words at once."""
+    seed = np.where(_SEED29[None, :] == 1, ds29[:, None], ds30[:, None])
+    return ((seed + d.astype(np.int32) @ _TAPS_MAT.T) % 2).astype(np.int8)
 
 
 # -- declarative field layout -------------------------------------------------
@@ -146,14 +161,14 @@ def check_and_unscramble(sub300: np.ndarray) -> np.ndarray | None:
         w = 1 - w
         if not np.array_equal(w[0, :8], PREAMBLE):
             return None
-    for i in range(1, 10):
-        ds29, ds30 = int(w[i - 1, 28]), int(w[i - 1, 29])
-        d = w[i, :24]
-        if ds30:
-            d = 1 - d
-            w[i, :24] = d
-        if not np.array_equal(word_parity(d, ds29, ds30), w[i, 24:]):
-            return None
+    # the D30 complement decision and both parity seeds use only the
+    # TRANSMITTED bits of the previous word — known upfront for every
+    # word — so the whole 9-word check collapses to one [9, 24] matmul
+    ds29, ds30 = w[:-1, 28], w[:-1, 29]
+    d = np.where(ds30[:, None] == 1, 1 - w[1:, :24], w[1:, :24])
+    if not np.array_equal(words_parity(d, ds29, ds30), w[1:, 24:]):
+        return None
+    w[1:, :24] = d
     return w
 
 

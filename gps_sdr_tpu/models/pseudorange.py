@@ -62,42 +62,90 @@ def max_slope(cfg: ReceiverConfig) -> float:
 @dataclass
 class DeferredRows:
     """One satellite's pseudorange bookkeeping, orbit propagation still
-    pending — lets the evaluator batch ecef_coord across satellites."""
+    pending — lets the evaluator batch ecef_coord across satellites.
+    Parallel arrays, one entry per matched code phase."""
 
     sat_no: int
     week_num: int
     sigma: float
     ephem: dict
-    rows: list              # (tow, delta_st, smp_raw, cyc_no)
+    tow: np.ndarray         # int64
+    delta_st: np.ndarray    # int64 samples from the TOW epoch start
+    smp: np.ndarray         # float64 raw receive sample time
+    cyc: np.ndarray         # int64 cycle number within the TOW epoch
+
+    def __len__(self) -> int:
+        return self.tow.shape[0]
+
+
+@dataclass
+class SatRows:
+    """Per-code-phase satellite results as a struct of arrays.
+
+    Column-for-column the reference's result tuples (satNo, tow, x, y,
+    z, smpTime, weekNum, cycNo, cophStd — gpslib.py:1021-1022), kept as
+    parallel arrays so epoch grouping and the GN solves stay vectorized
+    end-to-end on the host."""
+
+    sat_no: np.ndarray          # int64 [N]
+    tow: np.ndarray             # int64 [N]
+    pos: np.ndarray             # float64 [N, 3] ECEF
+    t: np.ndarray               # float64 [N] receive time (s, sample clock)
+    week: np.ndarray            # int64 [N]
+    cyc: np.ndarray             # int64 [N]
+    sigma: np.ndarray           # float64 [N]
+
+    def __len__(self) -> int:
+        return self.sat_no.shape[0]
+
+    @classmethod
+    def empty(cls) -> "SatRows":
+        z = np.zeros(0, np.int64)
+        f = np.zeros(0, np.float64)
+        return cls(z, z, np.zeros((0, 3), np.float64), f, z, z, f)
+
+    def tuples(self) -> list:
+        """Reference-format result tuples (compat surface)."""
+        return [(int(s), int(tw), float(p[0]), float(p[1]), float(p[2]),
+                 float(t), int(w), int(c), float(sg))
+                for s, tw, p, t, w, c, sg in
+                zip(self.sat_no, self.tow, self.pos, self.t, self.week,
+                    self.cyc, self.sigma)]
 
 
 def finish_deferred(deferred: list, cfg: ReceiverConfig,
-                    rel_corr: bool = True) -> list:
+                    rel_corr: bool = True) -> SatRows:
     """Run ONE vectorized orbit propagation over every satellite's rows
-    and emit the reference-format result tuples, grouped per satellite
-    in input order.  All ecef_coord math is elementwise, so stacking
-    rows across satellites is bit-identical to per-satellite calls."""
+    and emit a SatRows bundle, grouped per satellite in input order.
+    All ecef_coord math is elementwise, so stacking rows across
+    satellites is bit-identical to per-satellite calls."""
     if not deferred:
-        return []
+        return SatRows.empty()
     fs = cfg.sample_rate
-    counts = [len(d.rows) for d in deferred]
-    tow_a = np.array([r[0] for d in deferred for r in d.rows], np.float64)
-    dst_a = np.array([r[1] for d in deferred for r in d.rows], np.float64)
-    eph = {k: np.repeat([d.ephem[k] for d in deferred], counts)
-           for k in deferred[0].ephem
-           if isinstance(deferred[0].ephem[k], (int, float, np.floating))}
+    counts = [len(d) for d in deferred]
+    tow_a = np.concatenate([d.tow for d in deferred]).astype(np.float64)
+    dst_a = np.concatenate([d.delta_st for d in deferred]).astype(
+        np.float64)
+    smp_a = np.concatenate([d.smp for d in deferred])
+    cyc_a = np.concatenate([d.cyc for d in deferred])
+    keys = [k for k, v in deferred[0].ephem.items()
+            if isinstance(v, (int, float, np.floating))]
+    vals = np.array([[d.ephem[k] for k in keys] for d in deferred],
+                    np.float64)
+    rep = np.repeat(vals, counts, axis=0)       # ONE repeat, all keys
+    eph = {k: rep[:, i] for i, k in enumerate(keys)}
     x, y, z, dtsv = orbits.ecef_coord(tow_a, eph, dt_from_tow=dst_a / fs,
                                       rel_corr=rel_corr)
     dtsv = np.broadcast_to(np.asarray(dtsv, np.float64), tow_a.shape)
-    result = []
-    i = 0
-    for d in deferred:
-        for (tw, _, smp_raw, cyc) in d.rows:
-            result.append((d.sat_no, int(tw), float(x[i]), float(y[i]),
-                           float(z[i]), smp_raw / fs + float(dtsv[i]),
-                           d.week_num, int(cyc), d.sigma))
-            i += 1
-    return result
+    return SatRows(
+        sat_no=np.repeat([d.sat_no for d in deferred], counts),
+        tow=tow_a.astype(np.int64),
+        pos=np.stack([x, y, z], axis=1).astype(np.float64),
+        t=smp_a / fs + dtsv,
+        week=np.repeat([d.week_num for d in deferred],
+                       counts).astype(np.int64),
+        cyc=cyc_a,
+        sigma=np.repeat([d.sigma for d in deferred], counts))
 
 
 @dataclass
@@ -167,9 +215,20 @@ class PseudorangeEngine:
         averaged, clipped slope in samples/ms (getStdDev,
         gpslib.py:864-883)."""
         if len(cps) > 3:
-            p = _linfit(snos, cps)
-            sigma = float(np.std(cps - (p[0] * snos + p[1])))
-            self.slope_hist.append(p[0] / self.cfg.n_cyc)
+            # one centered pass: LS slope and residual std from the same
+            # sums (residuals of a LS line have zero mean, so
+            # std^2 = var_y - cov^2/var_x exactly)
+            x = (snos - snos[0]).astype(np.float64)
+            y = cps - cps[0]
+            n = x.shape[0]
+            mx = x.mean()
+            my = y.mean()
+            var_x = x @ x / n - mx * mx
+            cov = x @ y / n - mx * my
+            var_y = y @ y / n - my * my
+            sl = cov / var_x if var_x else 0.0
+            sigma = float(np.sqrt(max(var_y - sl * cov, 0.0)))
+            self.slope_hist.append(sl / self.cfg.n_cyc)
             max_hist = 1024 // self.cfg.n_cyc
             if len(self.slope_hist) > max_hist:
                 del self.slope_hist[0]
@@ -267,67 +326,66 @@ class PseudorangeEngine:
             tow += 1
             offms = (offms + 16) % n_cyc
 
-        cp = cps[0]
-        cyc_no = 0
-        delta_st = offms * cs
-        stream_no = (st + delta_st) // ngps
-        code_no = (st + delta_st) // cs - stream_no * n_cyc
-        idx = 0
-        # Walk the bookkeeping first, collecting one row per matched
-        # stream; the Kepler propagation then runs ONCE vectorized over
-        # all rows (orbits.ecef_coord broadcasts) instead of per code
-        # phase like the reference (gpslib.py:1011) — ~10x cheaper on
-        # the host, bit-identical results.
-        rows: list = []                # (tow, delta_st, st, cp, cyc_no)
-        while idx < len(snos):
-            if snos[idx] < stream_no:
-                idx += 1
-            elif snos[idx] > stream_no:
-                stream_no += 1
-                cyc_no += 1
-                delta_st += ngps
-            else:
-                cp = cps[idx]
-                # the correlator measures at the block center; shift the
-                # timestamp by the code-phase slope times the offset of
-                # this code period from the center
-                corr_cp = (code_no + cp // cs - n_cyc // 2) * slope
-                rows.append((tow, delta_st, st + delta_st + cp + corr_cp,
-                             cyc_no))
-                stream_no += 1
-                cyc_no += 1
-                delta_st += ngps
-                idx += 1
+        # Vectorized walk (the reference steps stream-by-stream,
+        # gpslib.py:1001-1037).  Because six_sec mod ngps equals the
+        # 16 ms offms step, the absolute code-period start time is
+        # exactly contiguous across 6 s rollovers:
+        #   T(q) = T(first) + (q - first) * ngps
+        # for every stream number q, so each matched stream's
+        # (tow, delta_st, cyc_no) has a closed form — no Python loop.
+        st = int(st)
+        tow = int(tow)
+        t0_abs = st + offms * cs               # T(first)
+        first = t0_abs // ngps
+        code_no = t0_abs // cs - first * n_cyc  # constant over the walk,
+        #                                         like the reference's
+        mask = snos >= first                   # stale entries skipped
+        qm = snos[mask]
+        have_rows = bool(qm.size)
+        if have_rows:
+            cpm = cps[mask]
+            T = t0_abs + (qm - first) * ngps
+            seg = (T - st) // six_sec
+            tow_q = tow + seg
+            delta_q = T - st - seg * six_sec
+            offms_q = (offms + 16 * seg) % n_cyc
+            start_q = (st + seg * six_sec + offms_q * cs) // ngps
+            # the correlator measures at the block center; shift the
+            # timestamp by the code-phase slope times the offset of
+            # this code period from the center
+            corr_cp = (code_no + cpm // cs - n_cyc // 2) * slope
+            smp = T + cpm + corr_cp
 
-            if delta_st >= six_sec:
-                tow += 1
-                cyc_no = 0
-                st += six_sec
-                offms = (offms + 16) % n_cyc
-                delta_st = offms * cs
-                # roll the anchor forward so the next call doesn't rewalk
-                if stream_no < snos[-1]:
-                    self.ref_time = (tow, int(st + cp % cs))
+        # roll the time anchor forward at the LAST 6 s boundary crossed
+        # strictly before the list's final stream, so the next call
+        # doesn't rewalk (REF_TIME update, gpslib.py:1031-1037); CP at
+        # that moment is the last code phase matched before the boundary
+        last_q = int(snos[-1])
+        n_seg = int((t0_abs + (last_q + 1 - first) * ngps - st)
+                    // six_sec)
+        if n_seg >= 1:
+            s_arr = np.arange(1, n_seg + 1, dtype=np.int64)
+            bound = first - ((st + s_arr * six_sec - t0_abs) // -ngps)
+            elig = bound < last_q
+            if elig.any():
+                s_star = int(s_arr[elig][-1])
+                b_star = int(bound[elig][-1])
+                j = int(np.searchsorted(snos, b_star)) - 1
+                cp_at = (float(cps[j]) if j >= 0 and snos[j] >= first
+                         else float(cps[0]))
+                self.ref_time = (tow + s_star,
+                                 int(st + s_star * six_sec + cp_at % cs))
 
-        if rows:
+        if have_rows:
+            d = DeferredRows(self.sat_no, int(week_num), sigma,
+                             dict(self.ref_ephem), tow=tow_q,
+                             delta_st=delta_q, smp=smp, cyc=qm - start_q)
             if defer:
                 # cross-satellite orbit batching: hand the bookkeeping
                 # back so the evaluator can run ONE vectorized
                 # ecef_coord over every satellite's rows (elementwise
                 # math -> bit-identical to the per-sat call)
-                return DeferredRows(self.sat_no, int(week_num), sigma,
-                                    dict(self.ref_ephem), rows)
-            tow_a = np.array([r[0] for r in rows], dtype=np.float64)
-            dst_a = np.array([r[1] for r in rows], dtype=np.float64)
-            x, y, z, dtsv = orbits.ecef_coord(
-                tow_a, self.ref_ephem, dt_from_tow=dst_a / fs,
-                rel_corr=rel_corr)
-            dtsv = np.broadcast_to(np.asarray(dtsv, np.float64),
-                                   tow_a.shape)
-            for i, (tw, _, smp_raw, cyc) in enumerate(rows):
-                result.append((self.sat_no, int(tw), float(x[i]),
-                               float(y[i]), float(z[i]),
-                               smp_raw / fs + float(dtsv[i]),
-                               int(week_num), int(cyc), sigma))
+                return d
+            return finish_deferred([d], cfg, rel_corr).tuples()
 
         return result

@@ -46,24 +46,30 @@ def unwrap_code_phases(sat_no: int, cplst: list, err_stream: dict,
     diff_tol = 200
     max_diff_no = cfg.n_cyc // 4
     cs = cfg.code_samples
+    n = len(cplst)
     cpl = list(cplst)
-    ovfl = 0
-    pno, pcp = cpl[0]
-    for i in range(1, len(cpl)):
-        no, cp = cpl[i]
-        cp += ovfl * cs
-        diff = pcp - cp
-        if abs(abs(diff) - cs) <= diff_tol:
-            cp += np.sign(diff) * cs
-            ovfl += np.sign(diff)
-        if abs(cp - pcp) > (1 + (no - pno - 1) * 0.2):
+    if n > 1:
+        # Vectorized unwrap.  In the sequential walk both the previous
+        # and current phase carry the same accumulated offset when the
+        # wrap test runs, so the test only ever sees RAW neighbour
+        # differences — the correction is a plain cumulative sum of
+        # per-step wrap signs.  Bit-identical to the reference loop.
+        nos = np.fromiter((e[0] for e in cplst), np.int64, n)
+        raw = np.fromiter((e[1] for e in cplst), np.float64, n)
+        d = raw[:-1] - raw[1:]
+        s = np.where(np.abs(np.abs(d) - cs) <= diff_tol, np.sign(d), 0.0)
+        corr = raw.copy()
+        corr[1:] += np.cumsum(s) * cs
+        step = np.abs(np.diff(corr))
+        gaps = np.diff(nos)
+        for i in np.nonzero(step > 1 + (gaps - 1) * 0.2)[0]:
+            no, pno = int(nos[i + 1]), int(nos[i])
             if log is not None:
                 log.append(f"{no} [{no-pno}]: code-phase step "
-                           f"{abs(cp-pcp):.2f} - possible phase error")
+                           f"{step[i]:.2f} - possible phase error")
             for j in range(no - pno):
                 err_stream[no - j] = err_stream.get(no - j, 0) + 1
-        cpl[i] = (no, cp)
-        pno, pcp = no, cp
+        cpl[1:] = zip(nos[1:].tolist(), corr[1:].tolist())
 
     if cpl and prev_tail is not None:
         no, cp = cpl[0]
@@ -156,7 +162,6 @@ class Evaluator:
     # -- per-satellite evaluation (evalData, gpseval.py:197-232) --
 
     def _eval_sats(self, frames: list, cpl: dict):
-        sat_res = []
         gps_time = None
         for sf in frames:
             sat_no = sf.get("SAT")
@@ -181,112 +186,117 @@ class Evaluator:
                 active.add(sat_no)
         # ONE vectorized orbit propagation across all satellites' rows
         sat_res = finish_deferred(deferred, self.cfg)
-        if sat_res:
-            tow, week, cyc = (sat_res[0][1], sat_res[0][6],
-                              sat_res[0][7])
+        if len(sat_res):
+            tow, week, cyc = (int(sat_res.tow[0]), int(sat_res.week[0]),
+                              int(sat_res.cyc[0]))
             gps_time = gps_datetime(tow, week) + datetime.timedelta(
                 seconds=cyc * self.cfg.n_cyc / 1000)
         return sat_res, active, gps_time
 
     # -- epoch grouping + fix (ecefPositions, gpseval.py:235-317) --
 
-    def _fix_epochs(self, sat_res: list):
+    def _fix_epochs(self, sat_res):
         cfg = self.cfg
         min_sat = 3 if cfg.conf_height else 4
         calc_sat = max(cfg.min_sat, min_sat)
         rec_pos, sat_pos_list, fails = [], [], []
-        ptow = None
-        sat_res = sorted(sat_res, key=lambda e: (e[1], e[7], e[0]))
-        # pass 1: group epochs (>= calc_sat sats) and collect their
-        # arrays; the GN solves then run STACKED per satellite count
-        # (ops/pvt.py solve_fix_batch) — one [E, 4, 4] solve per
-        # iteration instead of E Python loops.  GN converges to
-        # |delta| < max_residual/10, so sharing the chunk-entry warm
+        n = len(sat_res)
+        if n == 0:
+            return sat_pos_list, rec_pos, fails
+        # pass 1: group rows into (tow, cyc) epochs — all-array: sort
+        # by (tow, cyc, sat), find group boundaries, keep groups with
+        # >= calc_sat satellites
+        order = np.lexsort((sat_res.sat_no, sat_res.cyc, sat_res.tow))
+        tow = sat_res.tow[order]
+        cyc = sat_res.cyc[order]
+        is_new = np.ones(n, bool)
+        is_new[1:] = (tow[1:] != tow[:-1]) | (cyc[1:] != cyc[:-1])
+        starts = np.nonzero(is_new)[0]
+        counts = np.diff(np.append(starts, n))
+        kept = counts >= calc_sat
+        gs, gc = starts[kept], counts[kept]
+        E = len(gs)
+        if E == 0:
+            return sat_pos_list, rec_pos, fails
+        ktow = tow[gs]
+        kcyc = cyc[gs]
+        # satellite-position reporting once per new TOW (among kept
+        # groups, in epoch order — ptow semantics of the reference loop)
+        rep = np.ones(E, bool)
+        rep[1:] = ktow[1:] != ktow[:-1]
+        for e in np.nonzero(rep)[0]:
+            rows = order[gs[e]:gs[e] + gc[e]]
+            sat_pos_list += [(int(s), (float(p[0]), float(p[1]),
+                                       float(p[2])))
+                             for s, p in zip(sat_res.sat_no[rows],
+                                             sat_res.pos[rows])]
+
+        # pass 2: ONE stacked solve for all epochs (ops/pvt.py
+        # solve_fix_batch — one [E, 4, 4] solve per GN iteration).
+        # Epochs with fewer satellites pad to the chunk's max count by
+        # duplicating their last satellite at sigma 1e7 (weight ~1e-14
+        # of a real row — a sub-nanometer perturbation).  GN converges
+        # to |delta| < max_residual/10, so sharing the chunk-entry warm
         # start across the batch yields the same optima the sequential
         # warm-start loop found.
-        jobs: list = []     # (tow, cyc, week, group, coords, delays, sig)
-        r = 0
-        while r < len(sat_res):
-            group = [sat_res[r]]
-            tow, cyc = sat_res[r][1], sat_res[r][7]
-            r += 1
-            while r < len(sat_res) and (sat_res[r][1], sat_res[r][7]) \
-                    == (tow, cyc):
-                group.append(sat_res[r])
-                r += 1
-            if len(group) < calc_sat:
-                continue
-            coords = np.array([g[2:5] for g in group]).T     # [3, n]
-            delays = np.array([g[5] for g in group])
-            sigmas = np.array([g[8] for g in group])
-            if tow != ptow:
-                sat_pos_list += [(g[0], tuple(g[2:5])) for g in group]
-            ptow = tow
-            jobs.append((tow, cyc, group[0][6], group, coords, delays,
-                         sigmas))
-
-        # pass 2: ONE stacked solve for all epochs.  Epochs with fewer
-        # satellites pad to the chunk's max count by duplicating their
-        # last satellite at sigma 1e7 (weight ~1e-14 of a real row — a
-        # sub-nanometer perturbation), so the whole second runs as a
-        # single [E, 4, 4] GN instead of one batch per satellite count.
+        n_max = int(gc.max())
+        j = np.arange(n_max)
+        idx = order[gs[:, None] + np.minimum(j[None, :],
+                                             (gc - 1)[:, None])]
+        real = j[None, :] < gc[:, None]
+        coords = sat_res.pos[idx].transpose(0, 2, 1)     # [E, 3, n_max]
+        delays = sat_res.t[idx]
+        sig = np.where(real,
+                       sat_res.sigma[idx] if cfg.lsf_weight else 1.0,
+                       1.0e7)
         fixes: dict[int, FixResult] = {}
         kw = dict(max_it=cfg.lsf_max_it,
                   max_residual=cfg.max_residual / 10,
                   height=cfg.height if cfg.conf_height else None,
                   height_dev=cfg.height_dev,
                   clock_rate_fix=self.clock_rate_est)
-        if jobs:
-            E = len(jobs)
-            n_max = max(len(j[3]) for j in jobs)
-            coords = np.empty((E, 3, n_max))
-            delays = np.empty((E, n_max))
-            sig = np.full((E, n_max), 1.0e7)
-            for i, job in enumerate(jobs):
-                n = len(job[3])
-                coords[i, :, :n] = job[4]
-                delays[i, :n] = job[5]
-                sig[i, :n] = job[6] if cfg.lsf_weight else 1.0
-                if n < n_max:
-                    coords[i, :, n:] = job[4][:, -1:]
-                    delays[i, n:] = job[5][-1]
-            try:
-                res = solve_fix_batch(coords, delays, std_dev=sig,
-                                      rec_pos0=self.warm_start, **kw)
-                fixes.update(enumerate(res))
-            except Exception:
-                # singular geometry somewhere in the stack: retry each
-                # epoch alone so only the bad one records EXCEPTION
-                for j, job in enumerate(jobs):
-                    try:
-                        fixes[j] = solve_fix(
-                            job[4], job[5],
-                            std_dev=(job[6] if cfg.lsf_weight
-                                     else None),
-                            rec_pos0=self.warm_start, **kw)
-                    except Exception:
-                        pass
+        try:
+            res = solve_fix_batch(coords, delays, std_dev=sig,
+                                  rec_pos0=self.warm_start, **kw)
+            fixes.update(enumerate(res))
+        except Exception:
+            # singular geometry somewhere in the stack: retry each
+            # epoch alone so only the bad one records EXCEPTION
+            for e in range(E):
+                ne = int(gc[e])
+                try:
+                    fixes[e] = solve_fix(
+                        coords[e, :, :ne], delays[e, :ne],
+                        std_dev=(sig[e, :ne] if cfg.lsf_weight
+                                 else None),
+                        rec_pos0=self.warm_start, **kw)
+                except Exception:
+                    pass
 
         # pass 3: classification + bookkeeping, in epoch order
-        for j, (tow, cyc, week, group, *_r) in enumerate(jobs):
-            fix = fixes.get(j)
+        for e in range(E):
+            tw, cy = int(ktow[e]), int(kcyc[e])
+            fix = fixes.get(e)
             if fix is None:
-                fails.append((tow, cyc, "EXCEPTION"))
+                fails.append((tw, cy, "EXCEPTION"))
                 continue
             if fix.residual <= cfg.max_residual:
-                t = gps_datetime(tow, week) + datetime.timedelta(
-                    seconds=cyc * cfg.n_cyc / 1000)
+                week = int(sat_res.week[order[gs[e]]])
+                t = gps_datetime(tw, week) + datetime.timedelta(
+                    seconds=cy * cfg.n_cyc / 1000)
                 entry = fix.rec_pos.copy()
                 entry[0] = t.timestamp()
                 rec_pos.append(entry)
                 self.warm_start = np.concatenate(
                     [[0.0], fix.rec_pos[1:]])
-                for g, rng, dly in zip(group, fix.range_est,
-                                       fix.meas_delay):
-                    self.sat_results.append(
-                        (g[0], tow, cyc, float(rng), float(dly)))
+                ne = int(gc[e])
+                sats = sat_res.sat_no[order[gs[e]:gs[e] + ne]].tolist()
+                self.sat_results += list(zip(
+                    sats, [tw] * ne, [cy] * ne,
+                    np.asarray(fix.range_est[:ne], float).tolist(),
+                    np.asarray(fix.meas_delay[:ne], float).tolist()))
             else:
-                fails.append((tow, cyc, "MAX_RESIDUAL"))
+                fails.append((tw, cy, "MAX_RESIDUAL"))
         return sat_pos_list, rec_pos, fails
 
     # -- statistics (ecefStatistics, gpseval.py:332-369) --
@@ -331,11 +341,11 @@ class Evaluator:
         de-scales the pseudorange delay differences (solve_fix
         clock_rate_fix), replacing the reference's mandatory
         SDR_FREQCORR calibration (README.md:204-217)."""
-        if self.warm_start is None or not sat_res:
+        if self.warm_start is None or not len(sat_res):
             return
         rec = np.asarray(self.warm_start[1:4], np.float64)
-        last = max(sat_res, key=lambda r: (r[1], r[7]))
-        tow, cyc = last[1], last[7]
+        i = int(np.lexsort((sat_res.cyc, sat_res.tow))[-1])
+        tow, cyc = int(sat_res.tow[i]), int(sat_res.cyc[i])
         dt = cyc * self.cfg.n_cyc / 1000.0
         freq = {sf["SAT"]: sf["FRQ"] for sf in frames
                 if sf.get("SAT") is not None and "FRQ" in sf}
