@@ -343,21 +343,25 @@ class NavDecoder:
         edge; flips the running sign once per edge."""
         if len(self.edges) < 2:
             return np.zeros(0, np.int8), np.zeros(0, np.int64)
-        bits, sts = [], []
-        sign = self.last_sign
-        (t1, st1) = self.edges[0]
-        for (t2, st2) in self.edges[1:]:
-            m, r = divmod(t2 - t1, 20)
-            if r > 17:
-                m += 1
-            if m > 0:
-                bits.extend([sign] * m)
-                sts.extend([st1] + [0] * (m - 1))
-            t1, st1 = t2, st2
-            sign = -sign
+        # vectorized over intervals: interval j (between edges j, j+1)
+        # carries sign last_sign * (-1)^j and rounds to m_j bits
+        t = np.fromiter((e[0] for e in self.edges), np.int64,
+                        len(self.edges))
+        st = np.fromiter((e[1] for e in self.edges), np.int64,
+                         len(self.edges))
+        m, r = np.divmod(np.diff(t), 20)
+        m += r > 17
+        k = m.shape[0]
+        signs = np.where(np.arange(k) % 2 == 0, self.last_sign,
+                         -self.last_sign).astype(np.int8)
+        bits = np.repeat(signs, m)
+        sts = np.zeros(int(m.sum()), np.int64)
+        startpos = np.concatenate([[0], np.cumsum(m)[:-1]])
+        has = m > 0
+        sts[startpos[has]] = st[:-1][has]
         self.edges = [self.edges[-1]]
-        self.last_sign = sign
-        return (np.asarray(bits, np.int8), np.asarray(sts, np.int64))
+        self.last_sign = int(self.last_sign * (-1) ** k)
+        return bits, sts
 
     def poll_subframes(self) -> list[dict]:
         """Assemble pending edges into bits, scan for subframes.

@@ -113,3 +113,39 @@ def test_navdecoder_full_chain():
         scale = navmsg.field_scale(1, k)
         assert subs[1][k] == pytest.approx(round(v / scale) * scale,
                                            rel=1e-12)
+
+
+def test_frame_bits_matches_sequential():
+    """The vectorized edge->bit assembly equals the per-edge walk
+    (logicalBits, /root/reference/src/gpslib.py:1465-1492) on random
+    edge streams, including sub-20 ms glitch intervals (m=0)."""
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n_edges = int(rng.integers(2, 60))
+        t = 100 + np.cumsum(rng.integers(1, 85, size=n_edges))
+        edges = [(int(tt), int(tt) * 2048 + int(rng.integers(0, 2048)))
+                 for tt in t]
+        sign0 = int(rng.choice([-1, 1]))
+
+        nd = navmsg.NavDecoder(ngps=65536)
+        nd.edges = list(edges)
+        nd.last_sign = sign0
+        bits, sts = nd._frame_bits()
+
+        # sequential oracle
+        obits, osts = [], []
+        sign = sign0
+        (t1, st1) = edges[0]
+        for (t2, st2) in edges[1:]:
+            m, r = divmod(t2 - t1, 20)
+            if r > 17:
+                m += 1
+            if m > 0:
+                obits.extend([sign] * m)
+                osts.extend([st1] + [0] * (m - 1))
+            t1, st1 = t2, st2
+            sign = -sign
+        assert bits.tolist() == obits
+        assert sts.tolist() == osts
+        assert nd.last_sign == sign
+        assert nd.edges == [edges[-1]]
