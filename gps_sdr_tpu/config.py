@@ -170,6 +170,18 @@ class ReceiverConfig:
                                     # window k+1 (throughput mode; adds
                                     # one window of result latency).
                                     # Identical outputs either way.
+    defer_subframe_poll: bool = False
+                                    # windowed device loops only: poll
+                                    # nav decoders for subframes once
+                                    # per download window instead of
+                                    # every chunk (throughput mode; the
+                                    # decoded subframes land in the
+                                    # window's LAST epoch, adding up to
+                                    # one window of subframe latency —
+                                    # pair with evaluator.merge_epochs,
+                                    # which feeds the whole window in
+                                    # one call, making results match
+                                    # per-chunk polling)
 
     # -- derived --
     @property

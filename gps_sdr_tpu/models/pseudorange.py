@@ -67,7 +67,7 @@ class DeferredRows:
 
     sat_no: int
     week_num: int
-    sigma: float
+    sigma: np.ndarray       # float64, per row (per reporting segment)
     ephem: dict
     tow: np.ndarray         # int64
     delta_st: np.ndarray    # int64 samples from the TOW epoch start
@@ -145,7 +145,7 @@ def finish_deferred(deferred: list, cfg: ReceiverConfig,
         week=np.repeat([d.week_num for d in deferred],
                        counts).astype(np.int64),
         cyc=cyc_a,
-        sigma=np.repeat([d.sigma for d in deferred], counts))
+        sigma=np.concatenate([d.sigma for d in deferred]))
 
 
 @dataclass
@@ -210,36 +210,54 @@ class PseudorangeEngine:
         self.ref_time = None
         self.ref_ephem = None
 
-    def _sigma_and_slope(self, snos, cps) -> tuple[float, float]:
+    def _sigma_and_slope(self, snos, cps) -> tuple[np.ndarray, np.ndarray]:
         """sigma of the code phases around a linear fit (meters) and the
         averaged, clipped slope in samples/ms (getStdDev,
-        gpslib.py:864-883)."""
-        if len(cps) > 3:
-            # one centered pass: LS slope and residual std from the same
-            # sums (residuals of a LS line have zero mean, so
-            # std^2 = var_y - cov^2/var_x exactly)
-            x = (snos - snos[0]).astype(np.float64)
-            y = cps - cps[0]
-            n = x.shape[0]
-            mx = x.mean()
-            my = y.mean()
-            var_x = x @ x / n - mx * mx
-            cov = x @ y / n - mx * my
-            var_y = y @ y / n - my * my
-            sl = cov / var_x if var_x else 0.0
-            sigma = float(np.sqrt(max(var_y - sl * cov, 0.0)))
-            self.slope_hist.append(sl / self.cfg.n_cyc)
-            max_hist = 1024 // self.cfg.n_cyc
-            if len(self.slope_hist) > max_hist:
-                del self.slope_hist[0]
-        else:
-            sigma = 0.5
-        sigma *= GPS_C / self.cfg.sample_rate
-        slope = 0.0
-        if len(self.slope_hist) > 4:
-            slope = float(np.mean(self.slope_hist))
-        cap = max_slope(self.cfg)
-        return sigma, float(np.clip(slope, -cap, cap))
+        gpslib.py:864-883), per entry.
+
+        The list is split into reporting-interval segments (cfg.no_sec
+        blocks) with one (sigma, slope-history update) per segment, so
+        a MERGED multi-chunk list (merge_epochs throughput mode)
+        reproduces the per-chunk calls' progressive slope engagement
+        and per-second fit windows; single-chunk lists are one segment
+        — identical to the per-call scalar form."""
+        cfg = self.cfg
+        n = len(cps)
+        seg = (snos - snos[0]) // cfg.no_sec
+        bounds = np.nonzero(np.diff(seg))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [n]])
+        sig_out = np.empty(n, np.float64)
+        slp_out = np.empty(n, np.float64)
+        cap = max_slope(cfg)
+        max_hist = 1024 // cfg.n_cyc
+        m_per_smp = GPS_C / cfg.sample_rate
+        for a, b in zip(starts, ends):
+            if b - a > 3:
+                # one centered pass: LS slope and residual std from the
+                # same sums (residuals of a LS line have zero mean, so
+                # std^2 = var_y - cov^2/var_x exactly)
+                x = (snos[a:b] - snos[a]).astype(np.float64)
+                y = cps[a:b] - cps[a]
+                k = b - a
+                mx = x.mean()
+                my = y.mean()
+                var_x = x @ x / k - mx * mx
+                cov = x @ y / k - mx * my
+                var_y = y @ y / k - my * my
+                sl = cov / var_x if var_x else 0.0
+                sigma = float(np.sqrt(max(var_y - sl * cov, 0.0)))
+                self.slope_hist.append(sl / cfg.n_cyc)
+                if len(self.slope_hist) > max_hist:
+                    del self.slope_hist[0]
+            else:
+                sigma = 0.5
+            slope = 0.0
+            if len(self.slope_hist) > 4:
+                slope = float(np.mean(self.slope_hist))
+            sig_out[a:b] = sigma * m_per_smp
+            slp_out[a:b] = min(max(slope, -cap), cap)
+        return sig_out, slp_out
 
     # -- main entry ----------------------------------------------------------
 
@@ -312,7 +330,7 @@ class PseudorangeEngine:
         if abs(abs(diff) - cs) <= self.DIFF_TOL:
             cps = cps + np.sign(diff) * cs
 
-        sigma, slope = self._sigma_and_slope(snos, cps)
+        sigma_a, slope_a = self._sigma_and_slope(snos, cps)
         self.cp_hist += list(zip(snos.tolist(), cps.tolist()))
         self.cp_hist = self.cp_hist[-self.MAX_FIT:]
         self.last_sno, self.last_cp = int(snos[-1]), float(cps[-1])
@@ -353,7 +371,7 @@ class PseudorangeEngine:
             # the correlator measures at the block center; shift the
             # timestamp by the code-phase slope times the offset of
             # this code period from the center
-            corr_cp = (code_no + cpm // cs - n_cyc // 2) * slope
+            corr_cp = (code_no + cpm // cs - n_cyc // 2) * slope_a[mask]
             smp = T + cpm + corr_cp
 
         # roll the time anchor forward at the LAST 6 s boundary crossed
@@ -377,7 +395,7 @@ class PseudorangeEngine:
                                  int(st + s_star * six_sec + cp_at % cs))
 
         if have_rows:
-            d = DeferredRows(self.sat_no, int(week_num), sigma,
+            d = DeferredRows(self.sat_no, int(week_num), sigma_a[mask],
                              dict(self.ref_ephem), tow=tow_q,
                              delta_st=delta_q, smp=smp, cyc=qm - start_q)
             if defer:

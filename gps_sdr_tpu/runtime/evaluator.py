@@ -99,6 +99,29 @@ class EpochInput:
     code_phases: dict                 # {sat_no: [(stream_no, cp), ...]}
 
 
+def merge_epochs(epochs: list) -> EpochInput:
+    """Concatenate consecutive reporting intervals into one EpochInput
+    (throughput mode).
+
+    One Evaluator.process call per download window instead of per chunk
+    divides the per-call host overhead by the window length; the
+    pseudorange engines keep per-second fit/slope segmentation
+    internally (PseudorangeEngine._sigma_and_slope), so fixes match
+    per-chunk processing up to boundary hygiene.  Costs up to one
+    window of reporting latency — the latency-critical path stays
+    per-chunk."""
+    if len(epochs) == 1:
+        return epochs[0]
+    frames = [sf for e in epochs for sf in e.frames]
+    coph: dict = {}
+    for e in epochs:
+        for sat, lst in e.code_phases.items():
+            coph.setdefault(sat, []).extend(lst)
+    return EpochInput(
+        skipped_samples=sum(e.skipped_samples for e in epochs),
+        frames=frames, code_phases=coph)
+
+
 @dataclass
 class Evaluator:
     cfg: ReceiverConfig

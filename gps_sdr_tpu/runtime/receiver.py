@@ -216,7 +216,8 @@ class Receiver:
         self.status.blocks_processed += nb
         return outs, stream0
 
-    def _consume_chunk(self, chunk, outs_dev, stream0: int, skipped: int):
+    def _consume_chunk(self, chunk, outs_dev, stream0: int, skipped: int,
+                       poll: bool = True):
         cfg = self.cfg
         outs: ChannelOut = (outs_dev
                             if isinstance(outs_dev.code_phase, np.ndarray)
@@ -245,7 +246,7 @@ class Receiver:
             if prn == 0:
                 continue
             subs = (self.decoders[slot].poll_subframes()
-                    if bool(outs.locked[-1, slot]) else [])
+                    if poll and bool(outs.locked[-1, slot]) else [])
             if not subs:
                 subs = [{}]
             for sf in subs:
@@ -334,12 +335,16 @@ class Receiver:
             while n > 0 and windows:
                 take, stacked = windows.pop(0)
                 host = np.asarray(stacked)  # ONE tunnel transfer/window
-                for (chunk, _, stream0), row in zip(take, host):
+                for i, ((chunk, _, stream0), row) in enumerate(
+                        zip(take, host)):
                     outs, dropped = unpack_outs_compact(
                         row, len(chunk), cfg.max_sat,
                         self._edge_sl, cap)
                     self.status.edge_overflows += int(dropped.sum())
-                    yield self._consume_chunk(chunk, outs, stream0, 0)[0]
+                    poll = (not cfg.defer_subframe_poll
+                            or i == len(take) - 1)
+                    yield self._consume_chunk(chunk, outs, stream0, 0,
+                                              poll=poll)[0]
                 n -= 1
 
         for ci in range(n_chunks):

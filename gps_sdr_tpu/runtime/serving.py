@@ -155,7 +155,10 @@ class StreamServer:
             while n > 0 and windows:
                 take, stacked = windows.pop(0)
                 host = np.asarray(stacked)     # ONE transfer per window
-                for (chunks, _, stream0), win in zip(take, host):
+                for i, ((chunks, _, stream0), win) in enumerate(
+                        zip(take, host)):
+                    poll = (not cfg.defer_subframe_poll
+                            or i == len(take) - 1)
                     for s, rec in enumerate(self.receivers):
                         outs, dropped = unpack_outs_compact(
                             win[s], t, cfg.max_sat, sl, cap)
@@ -171,8 +174,8 @@ class StreamServer:
                                 self._stacked, jnp.int32(s))
                         chunk = _DeviceChunk(chunks[s if not shared
                                                     else 0])
-                        epoch, swept = rec._consume_chunk(chunk, outs,
-                                                          stream0, 0)
+                        epoch, swept = rec._consume_chunk(
+                            chunk, outs, stream0, 0, poll=poll)
                         if swept:
                             self._scatter_stream(s)
                         yield s, epoch

@@ -146,3 +146,41 @@ def test_run_device_overlapped_windows_identical():
                                         chunk_blocks=t))
         assert r.status.edge_overflows == 0
     assert _frames_key(epochs[1]) == _frames_key(epochs[2])
+
+
+def test_defer_subframe_poll_window_equivalent():
+    """defer_subframe_poll=True polls decoders once per download window;
+    per-chunk epochs differ only in WHICH epoch carries a decoded
+    subframe — merged per window (evaluator.merge_epochs, the throughput
+    pairing) the streams are identical."""
+    from gps_sdr_tpu.runtime.evaluator import merge_epochs
+
+    sats = SATS
+    n_chunks = 6
+    w = 3
+    t = 24
+    runs = {}
+    for defer in (False, True):
+        cfg = CFG.replace(max_sat=2, chunks_per_download=w,
+                          defer_subframe_poll=defer)
+        synth = JaxSynth(cfg, sats, noise_std=0.2, seed=9)
+        r = _primed_receiver(cfg, sats)
+        eps = list(r.run_device(synth.chunk_planar, n_chunks,
+                                chunk_blocks=t))
+        assert len(eps) == n_chunks
+        merged = [merge_epochs(eps[i:i + w])
+                  for i in range(0, n_chunks, w)]
+        runs[defer] = (eps, merged)
+
+    # code phases are poll-independent: identical per chunk
+    for ea, eb in zip(runs[False][0], runs[True][0]):
+        assert sorted(ea.code_phases.items()) == \
+            sorted(eb.code_phases.items())
+    # frames match once merged per window (order-normalized)
+    def key(eps):
+        return [[sorted((k, str(v)) for k, v in f.items())
+                 for f in sorted(e.frames, key=str)] for e in eps]
+    assert key(runs[False][1]) == key(runs[True][1])
+    # full-subframe delivery under defer_subframe_poll is covered end
+    # to end by the serving-with-fixes bench (fixes require decoded
+    # ephemerides); this fixture is too short for a 6 s subframe

@@ -163,3 +163,59 @@ def test_phase_error_poison_pill(scenario):
     assert ev.n_phase_errors >= 1
     # engines dropped their references
     assert all(eng.ref_time is None for eng in ev.engines.values())
+
+
+def test_merged_epochs_match_per_chunk(scenario):
+    """Throughput mode: merge_epochs over 8 s windows produces the same
+    fixes as per-second processing (one Evaluator.process per download
+    window — the serving/bench fast path)."""
+    from gps_sdr_tpu.runtime.evaluator import merge_epochs
+
+    scn = scenario
+    cfg = CFG
+    n_sec = 32
+    coph, frames = ideal_measurements(scn, n_sec)
+
+    def epoch_for(sec):
+        lo, hi = sec * cfg.no_sec + 1, (sec + 1) * cfg.no_sec + 1
+        sec_frames = []
+        sec_coph = {}
+        for sat in scn.sats:
+            sec_frames += [dict(sf) for st, sf in frames[sat.prn]
+                           if lo * cfg.ngps <= st + 6 * cfg.sample_rate
+                           < hi * cfg.ngps]
+            sec_coph[sat.prn] = [(sno, cp) for sno, cp in coph[sat.prn]
+                                 if lo <= sno < hi]
+        return EpochInput(0, sec_frames, sec_coph)
+
+    ev_a = Evaluator(cfg)           # per second
+    ev_b = Evaluator(cfg)           # merged 8 s windows
+    buf = []
+    for sec in range(n_sec):
+        e = epoch_for(sec)
+        ev_a.process(EpochInput(0, [dict(sf) for sf in e.frames],
+                                {k: list(v)
+                                 for k, v in e.code_phases.items()}))
+        buf.append(e)
+        if len(buf) == 8:
+            ev_b.process(merge_epochs(buf))
+            buf = []
+    if buf:
+        ev_b.process(merge_epochs(buf))
+
+    na, nb = len(ev_a.positions), len(ev_b.positions)
+    assert na > 0
+    # the merged window sees the (tow, ST) anchor in the same call as
+    # code phases from earlier in the window, so epochs the per-chunk
+    # mode discarded before the anchor now produce fixes: merged is a
+    # superset
+    assert nb >= na, (na, nb)
+    ta = {round(p[0], 4): np.asarray(p[1:]) for p in ev_a.positions}
+    tb = {round(p[0], 4): np.asarray(p[1:]) for p in ev_b.positions}
+    common = sorted(set(ta) & set(tb))
+    assert len(common) >= na - 2
+    d = [np.linalg.norm(ta[t] - tb[t]) for t in common]
+    # same epochs agree to centimetres (fit windows differ slightly)
+    assert np.median(d) < 0.5 and max(d) < 5.0, (np.median(d), max(d))
+    err = np.linalg.norm(ev_b.stat[0] - scn.rec_ecef)
+    assert err < 5.0

@@ -70,7 +70,10 @@ def _oracle_eval(self, cpl, rel_corr=True):
     diff = self.last_cp - cps[0]
     if abs(abs(diff) - cs) <= self.DIFF_TOL:
         cps = cps + np.sign(diff) * cs
-    sigma, slope = self._sigma_and_slope(snos, cps)
+    sig_a, slp_a = self._sigma_and_slope(snos, cps)
+    # single-segment lists (the per-chunk shape) have constant arrays
+    assert np.all(sig_a == sig_a[0]) and np.all(slp_a == slp_a[0])
+    sigma, slope = float(sig_a[0]), float(slp_a[0])
     self.cp_hist += list(zip(snos.tolist(), cps.tolist()))
     self.cp_hist = self.cp_hist[-self.MAX_FIT:]
     self.last_sno, self.last_cp = int(snos[-1]), float(cps[-1])
@@ -152,6 +155,10 @@ def _random_lists(rng, cfg, sno0, n_lists):
             lst.append((sno, cp))
             step = 1 + (int(rng.integers(1, 5))
                         if rng.random() < 0.08 else 0)
+            if sno + step - lst[0][0] >= cfg.no_sec:
+                step = 1      # keep the list single-segment (one chunk)
+                if sno + 1 - lst[0][0] >= cfg.no_sec:
+                    break
             sno += step
             cp += drift * step
         lists.append(lst)
