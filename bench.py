@@ -421,8 +421,7 @@ def main():
 
         from gps_sdr_tpu.models.scenario import make_scenario
         from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
-        from gps_sdr_tpu.runtime.evaluator import (Evaluator,
-                                                    merge_epochs)
+        from gps_sdr_tpu.runtime.evaluator import Evaluator
         from gps_sdr_tpu.runtime.receiver import Receiver
 
         fl_sec = float(os.environ.get("BENCH_FULL_SEC", "96"))
@@ -456,24 +455,19 @@ def main():
         # latency — tests/test_device_transport.py)
         cfg_fl = cfg.replace(download_windows_in_flight=2,
                              chunks_per_download=w_fl,
-                             defer_subframe_poll=True)
+                             defer_subframe_poll=True,
+                             epoch_per_window=True)
         rec_fl = Receiver(cfg_fl)
         ev_fl = Evaluator(cfg_fl)
         t0 = None
-        done_fl = 0
-        buf_ep = []     # merged evaluation: one process per window
+        # one epoch per download window; the first (warm) window is
+        # excluded from timing
         for epoch in rec_fl.run_device(provider_fl, n_chunks_fl):
-            buf_ep.append(epoch)
-            if len(buf_ep) == w_fl:
-                ev_fl.process(merge_epochs(buf_ep))
-                buf_ep = []
-            done_fl += 1
-            if done_fl == warm_fl:
+            ev_fl.process(epoch)
+            if t0 is None:
                 t0 = time.perf_counter()
-        if buf_ep:
-            ev_fl.process(merge_epochs(buf_ep))
         wall_fl = time.perf_counter() - t0
-        sig_fl = (done_fl - warm_fl) * t_fl * cfg.block_sec
+        sig_fl = (n_chunks_fl - warm_fl) * t_fl * cfg.block_sec
         stress["full_loop_rtf"] = round(sig_fl / wall_fl, 1)
         stress["full_loop_fixes"] = len(ev_fl.positions)
         stress["full_loop_err_m"] = (
@@ -496,8 +490,7 @@ def main():
 
         from gps_sdr_tpu.models.scenario import make_scenario
         from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
-        from gps_sdr_tpu.runtime.evaluator import (Evaluator,
-                                                    merge_epochs)
+        from gps_sdr_tpu.runtime.evaluator import Evaluator
         from gps_sdr_tpu.runtime.serving import StreamServer
 
         sv_sec = float(os.environ.get("BENCH_SERVE_SEC", "64"))
@@ -524,26 +517,22 @@ def main():
 
         cfg_sv = cfg.replace(download_windows_in_flight=2,
                              chunks_per_download=w_sv,
-                             defer_subframe_poll=True)
+                             defer_subframe_poll=True,
+                             epoch_per_window=True)
         srv = StreamServer(cfg_sv, n_sv)
         evs = [Evaluator(cfg_sv) for _ in range(n_sv)]
-        warm_ep = n_sv * min(w_sv, n_chunks_sv - 1)
+        warm_c = min(w_sv, n_chunks_sv - 1)
         t0 = None
         n_ep = 0
-        bufs = [[] for _ in range(n_sv)]
+        # one epoch per window per stream; the first (warm) window of
+        # all streams is excluded from timing
         for s, epoch in srv.run(provider_sv, n_chunks_sv):
-            bufs[s].append(epoch)
-            if len(bufs[s]) == w_sv:
-                evs[s].process(merge_epochs(bufs[s]))
-                bufs[s] = []
+            evs[s].process(epoch)
             n_ep += 1
-            if n_ep == warm_ep:
+            if n_ep == n_sv and t0 is None:
                 t0 = time.perf_counter()
-        for s in range(n_sv):
-            if bufs[s]:
-                evs[s].process(merge_epochs(bufs[s]))
         wall_sv = time.perf_counter() - t0
-        sig_sv = (n_ep - warm_ep) * t_sv * cfg.block_sec / n_sv
+        sig_sv = (n_chunks_sv - warm_c) * t_sv * cfg.block_sec
         fixes_sv = [len(e.positions) for e in evs]
         errs = [float(np.linalg.norm(e.stat[0] - scn_sv.rec_ecef))
                 for e in evs if e.stat is not None]

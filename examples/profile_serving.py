@@ -35,13 +35,13 @@ import jax.numpy as jnp  # noqa: E402
 from gps_sdr_tpu.config import ReceiverConfig  # noqa: E402
 from gps_sdr_tpu.models.scenario import make_scenario  # noqa: E402
 from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth  # noqa: E402
-from gps_sdr_tpu.runtime.evaluator import (Evaluator,  # noqa: E402
-                                            merge_epochs)
+from gps_sdr_tpu.runtime.evaluator import Evaluator  # noqa: E402
 from gps_sdr_tpu.runtime.serving import StreamServer  # noqa: E402
 
 cfg = ReceiverConfig().replace(download_windows_in_flight=2,
                                chunks_per_download=16,
-                               defer_subframe_poll=True)
+                               defer_subframe_poll=True,
+                               epoch_per_window=True)
 t_sv = cfg.no_sec
 n_chunks = int(round(args.sec / (t_sv * cfg.block_sec)))
 scn = make_scenario(cfg, n_sats=10, seed=5, duration_sec=args.sec + 12.0)
@@ -63,36 +63,23 @@ def provider(first, n):
 
 srv = StreamServer(cfg, args.streams)
 evs = [Evaluator(cfg) for _ in range(args.streams)]
-bufs = [[] for _ in range(args.streams)]
 w = cfg.chunks_per_download
 
-
-def consume(s, epoch):
-    bufs[s].append(epoch)
-    if len(bufs[s]) == w:
-        evs[s].process(merge_epochs(bufs[s]))
-        bufs[s] = []
-
-
 it = srv.run(provider, n_chunks)
-warm = args.streams * min(cfg.chunks_per_download, n_chunks - 1)
-for _ in range(warm):
+for _ in range(args.streams):          # warm: the first window
     s, epoch = next(it)
-    consume(s, epoch)
+    evs[s].process(epoch)
 
 prof = cProfile.Profile()
 t0 = time.perf_counter()
 prof.enable()
 done = 0
 for s, epoch in it:
-    consume(s, epoch)
+    evs[s].process(epoch)
     done += 1
-for s in range(args.streams):
-    if bufs[s]:
-        evs[s].process(merge_epochs(bufs[s]))
 prof.disable()
 wall = time.perf_counter() - t0
-sig = done * t_sv * cfg.block_sec / args.streams
+sig = (n_chunks - min(w, n_chunks - 1)) * t_sv * cfg.block_sec
 print(f"steady-state: {done} epochs, {args.streams} streams, "
       f"{sig:.1f}s signal in {wall:.2f}s = aggregate "
       f"{args.streams * sig / wall:.1f}x realtime")

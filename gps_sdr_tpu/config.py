@@ -182,6 +182,17 @@ class ReceiverConfig:
                                     # which feeds the whole window in
                                     # one call, making results match
                                     # per-chunk polling)
+    epoch_per_window: bool = False  # windowed device loops only: yield
+                                    # ONE EpochInput per download window
+                                    # (the concatenated chunk outputs
+                                    # consumed in a single host pass) —
+                                    # equals merge_epochs over the
+                                    # window's per-chunk epochs with
+                                    # defer_subframe_poll, at a fraction
+                                    # of the per-chunk host overhead.
+                                    # Throughput serving mode; the
+                                    # latency path keeps per-chunk
+                                    # epochs
 
     # -- derived --
     @property

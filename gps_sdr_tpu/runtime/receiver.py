@@ -335,16 +335,31 @@ class Receiver:
             while n > 0 and windows:
                 take, stacked = windows.pop(0)
                 host = np.asarray(stacked)  # ONE tunnel transfer/window
+                outs_list = []
                 for i, ((chunk, _, stream0), row) in enumerate(
                         zip(take, host)):
                     outs, dropped = unpack_outs_compact(
                         row, len(chunk), cfg.max_sat,
                         self._edge_sl, cap)
                     self.status.edge_overflows += int(dropped.sum())
+                    if cfg.epoch_per_window:
+                        outs_list.append(outs)
+                        continue
                     poll = (not cfg.defer_subframe_poll
                             or i == len(take) - 1)
                     yield self._consume_chunk(chunk, outs, stream0, 0,
                                               poll=poll)[0]
+                if outs_list:
+                    # one consume pass over the whole window: the chunk
+                    # outputs concatenate along the block axis (stream
+                    # numbers are contiguous in device loops), which is
+                    # exactly merge_epochs over the per-chunk epochs
+                    # with defer_subframe_poll
+                    big = jax.tree.map(
+                        lambda *xs: np.concatenate(xs, axis=0),
+                        *outs_list)
+                    yield self._consume_chunk(take[-1][0], big,
+                                              take[0][2], 0)[0]
                 n -= 1
 
         for ci in range(n_chunks):

@@ -150,11 +150,29 @@ class StreamServer:
             windows.append((held[:], stacked))
             held.clear()
 
+        def consume_one(s, chunks, outs, stream0, poll):
+            rec = self.receivers[s]
+            # expose this stream's device state to the host-side
+            # channel manager ONLY when a re-sweep will actually fire
+            # (it resets slots on it): slicing every state leaf for
+            # every stream every chunk costs S x n_leaves tiny device
+            # dispatches per chunk of pure overhead
+            if bool(outs.sweep_request[-1].any()):
+                rec.states = _slice_stream(self._stacked, jnp.int32(s))
+            chunk = _DeviceChunk(chunks[s if not shared else 0])
+            epoch, swept = rec._consume_chunk(chunk, outs, stream0, 0,
+                                              poll=poll)
+            if swept:
+                self._scatter_stream(s)
+            return epoch
+
         def drain(count=None):
             n = len(windows) if count is None else count
             while n > 0 and windows:
                 take, stacked = windows.pop(0)
                 host = np.asarray(stacked)     # ONE transfer per window
+                per_stream = ([[] for _ in range(s_n)]
+                              if cfg.epoch_per_window else None)
                 for i, ((chunks, _, stream0), win) in enumerate(
                         zip(take, host)):
                     poll = (not cfg.defer_subframe_poll
@@ -163,22 +181,21 @@ class StreamServer:
                         outs, dropped = unpack_outs_compact(
                             win[s], t, cfg.max_sat, sl, cap)
                         rec.status.edge_overflows += int(dropped.sum())
-                        # expose this stream's device state to the
-                        # host-side channel manager ONLY when a re-sweep
-                        # will actually fire (it resets slots on it):
-                        # slicing every state leaf for every stream
-                        # every chunk costs S x n_leaves tiny device
-                        # dispatches per chunk of pure overhead
-                        if bool(outs.sweep_request[-1].any()):
-                            rec.states = _slice_stream(
-                                self._stacked, jnp.int32(s))
-                        chunk = _DeviceChunk(chunks[s if not shared
-                                                    else 0])
-                        epoch, swept = rec._consume_chunk(
-                            chunk, outs, stream0, 0, poll=poll)
-                        if swept:
-                            self._scatter_stream(s)
-                        yield s, epoch
+                        if per_stream is not None:
+                            per_stream[s].append(outs)
+                            continue
+                        yield s, consume_one(s, chunks, outs, stream0,
+                                             poll)
+                if per_stream is not None:
+                    # one consume pass per stream over the whole window
+                    # (== merge_epochs over its per-chunk epochs with
+                    # defer_subframe_poll; see Receiver.run_device)
+                    for s in range(s_n):
+                        big = jax.tree.map(
+                            lambda *xs: np.concatenate(xs, axis=0),
+                            *per_stream[s])
+                        yield s, consume_one(s, take[-1][0], big,
+                                             take[0][2], True)
                 n -= 1
 
         for ci in range(n_chunks):

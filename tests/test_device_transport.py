@@ -184,3 +184,19 @@ def test_defer_subframe_poll_window_equivalent():
     # full-subframe delivery under defer_subframe_poll is covered end
     # to end by the serving-with-fixes bench (fixes require decoded
     # ephemerides); this fixture is too short for a 6 s subframe
+
+    # epoch_per_window: ONE epoch per window, its code phases equal the
+    # merged per-chunk stream; report frames come from the window's
+    # last chunk
+    cfg = CFG.replace(max_sat=2, chunks_per_download=w,
+                      epoch_per_window=True)
+    synth = JaxSynth(cfg, sats, noise_std=0.2, seed=9)
+    r = _primed_receiver(cfg, sats)
+    win_eps = list(r.run_device(synth.chunk_planar, n_chunks,
+                                chunk_blocks=t))
+    assert len(win_eps) == n_chunks // w
+    for k, we in enumerate(win_eps):
+        assert sorted(we.code_phases.items()) == \
+            sorted(runs[False][1][k].code_phases.items())
+        last = runs[False][0][k * w + w - 1]
+        assert key([we]) == key([last])
