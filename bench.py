@@ -429,9 +429,10 @@ def main():
         # default, which favors latency) — the tunnel's fixed ~30-60 ms
         # per-transfer cost is the full-loop floor, so fewer, larger
         # windows buy RTF directly
-        w_fl = 16
         t_fl = cfg.no_sec
         n_chunks_fl = int(round(fl_sec / (t_fl * cfg.block_sec)))
+        # at least two windows, or the warm-window timing degenerates
+        w_fl = min(16, max(1, n_chunks_fl // 2))
         warm_fl = min(w_fl, n_chunks_fl - 1)
         scn = make_scenario(cfg, n_sats=10, seed=3,
                             duration_sec=fl_sec + 12.0)
@@ -495,9 +496,10 @@ def main():
 
         sv_sec = float(os.environ.get("BENCH_SERVE_SEC", "64"))
         n_sv = int(os.environ.get("BENCH_SERVE_STREAMS", "8"))
-        w_sv = 16
         t_sv = cfg.no_sec
         n_chunks_sv = int(round(sv_sec / (t_sv * cfg.block_sec)))
+        # at least two windows, or the warm-window timing degenerates
+        w_sv = min(16, max(1, n_chunks_sv // 2))
         scn_sv = make_scenario(cfg, n_sats=10, seed=5,
                                duration_sec=sv_sec + 12.0)
         dsv = DeviceScenarioSynth(scn_sv, noise_std=0.5)

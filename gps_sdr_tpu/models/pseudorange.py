@@ -219,11 +219,15 @@ class PseudorangeEngine:
         blocks) with one (sigma, slope-history update) per segment, so
         a MERGED multi-chunk list (merge_epochs throughput mode)
         reproduces the per-chunk calls' progressive slope engagement
-        and per-second fit windows; single-chunk lists are one segment
-        — identical to the per-call scalar form."""
+        and per-second fit windows.  Segments anchor to the ABSOLUTE
+        stream grid ((sno - 1) // no_sec; block 0 has stream number 1),
+        matching the receiver's chunk boundaries exactly even when a
+        satellite's first valid code phase lands mid-chunk; a
+        default-shape per-chunk list is then always one segment —
+        identical to the per-call scalar form."""
         cfg = self.cfg
         n = len(cps)
-        seg = (snos - snos[0]) // cfg.no_sec
+        seg = (snos - 1) // cfg.no_sec
         bounds = np.nonzero(np.diff(seg))[0] + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [n]])

@@ -400,7 +400,20 @@ class Evaluator:
         if self.cfg.solve_clock_rate:
             self._update_clock_rate(epoch.frames, sat_res)
         self.fix_failures += fails
-        kept = self._update_stats(rec_pos) if rec_pos else []
+        # outlier statistics run once per reporting interval even when
+        # the input is a merged multi-chunk window: the speed-allowance
+        # gate and the running mean must advance second by second, or a
+        # moving receiver's end-of-window fixes would be gated against
+        # a window-old mean (min_out_dist + ~1 s * max_speed) and
+        # wrongly dropped
+        kept = []
+        if rec_pos:
+            sec_len = self.cfg.no_sec * self.cfg.block_sec
+            gid = np.floor(np.array([p[0] for p in rec_pos])
+                           / sec_len).astype(np.int64)
+            for g in np.unique(gid):
+                kept += self._update_stats(
+                    [rec_pos[i] for i in np.nonzero(gid == g)[0]])
         self.positions += [list(map(float, p)) for p in kept]
         return {
             "gps_time": gps_time,

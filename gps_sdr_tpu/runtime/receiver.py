@@ -217,7 +217,18 @@ class Receiver:
         return outs, stream0
 
     def _consume_chunk(self, chunk, outs_dev, stream0: int, skipped: int,
-                       poll: bool = True):
+                       poll: bool = True, window: bool = False):
+        """Consume one chunk's (or, with window=True, one concatenated
+        download window's) tracking outputs into an EpochInput.
+
+        window=True widens the per-chunk "last block" gates to the
+        whole window so nothing is missed that per-chunk consumption
+        would have caught: subframes poll if the channel was locked at
+        ANY block (not just the final one — a lock flicker at the
+        window boundary must not defer a whole window of subframes),
+        and sweep requests are honored if raised at ANY block (the
+        device recomputes the 60 s corr-quality gate per block; the
+        reference latches SWEEP until served, gpslib.py:1134-1138)."""
         cfg = self.cfg
         outs: ChannelOut = (outs_dev
                             if isinstance(outs_dev.code_phase, np.ndarray)
@@ -245,8 +256,10 @@ class Receiver:
         for slot, prn in enumerate(self.slots.slot_prn):
             if prn == 0:
                 continue
+            was_locked = (bool(outs.locked[:, slot].any()) if window
+                          else bool(outs.locked[-1, slot]))
             subs = (self.decoders[slot].poll_subframes()
-                    if poll and bool(outs.locked[-1, slot]) else [])
+                    if poll and was_locked else [])
             if not subs:
                 subs = [{}]
             for sf in subs:
@@ -258,9 +271,11 @@ class Receiver:
             frames += subs
 
         # service per-channel sweep requests on the chunk's last block
+        # (window mode: any block's request counts — see docstring)
+        req_flags = (outs.sweep_request.any(axis=0) if window
+                     else outs.sweep_request[-1])
         req = [s for s in range(cfg.max_sat)
-               if outs.sweep_request[-1, s]
-               and self.slots.slot_prn[s] != 0]
+               if req_flags[s] and self.slots.slot_prn[s] != 0]
         swept = []
         if req:
             swept = self._serve_channel_sweeps(np.asarray(chunk[-1]), req)
@@ -355,11 +370,10 @@ class Receiver:
                     # numbers are contiguous in device loops), which is
                     # exactly merge_epochs over the per-chunk epochs
                     # with defer_subframe_poll
-                    big = jax.tree.map(
-                        lambda *xs: np.concatenate(xs, axis=0),
-                        *outs_list)
-                    yield self._consume_chunk(take[-1][0], big,
-                                              take[0][2], 0)[0]
+                    yield self._consume_chunk(take[-1][0],
+                                              concat_outs(outs_list),
+                                              take[0][2], 0,
+                                              window=True)[0]
                 n -= 1
 
         for ci in range(n_chunks):
@@ -411,6 +425,18 @@ class _DeviceChunk:
         if i == 0 or i == -1:   # sweep service uses single blocks
             return _download_block(self.blocks_dev, i)
         raise IndexError(i)
+
+
+def concat_outs(outs_list: list) -> ChannelOut:
+    """Concatenate per-chunk ChannelOuts along the block axis — the
+    window-merge contract shared by Receiver.run_device and
+    StreamServer.run: consume with the window's FIRST stream0 and the
+    LAST chunk's blocks (sweep service reads the final block), and pass
+    window=True so last-block gates widen to the whole window."""
+    if len(outs_list) == 1:
+        return outs_list[0]
+    return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0),
+                        *outs_list)
 
 
 @jax.jit

@@ -27,7 +27,7 @@ from gps_sdr_tpu.ops.tracking import (pack_outs_compact, track_streams,
                                       unpack_outs_compact)
 from gps_sdr_tpu.runtime.receiver import (Receiver, _DeviceChunk,
                                           _copy_to_host_async,
-                                          _download_block)
+                                          _download_block, concat_outs)
 
 
 @functools.partial(jax.jit, static_argnums=1)
@@ -150,18 +150,20 @@ class StreamServer:
             windows.append((held[:], stacked))
             held.clear()
 
-        def consume_one(s, chunks, outs, stream0, poll):
+        def consume_one(s, chunks, outs, stream0, poll, window=False):
             rec = self.receivers[s]
             # expose this stream's device state to the host-side
             # channel manager ONLY when a re-sweep will actually fire
             # (it resets slots on it): slicing every state leaf for
             # every stream every chunk costs S x n_leaves tiny device
             # dispatches per chunk of pure overhead
-            if bool(outs.sweep_request[-1].any()):
+            want_sweep = (outs.sweep_request.any() if window
+                          else outs.sweep_request[-1].any())
+            if bool(want_sweep):
                 rec.states = _slice_stream(self._stacked, jnp.int32(s))
             chunk = _DeviceChunk(chunks[s if not shared else 0])
             epoch, swept = rec._consume_chunk(chunk, outs, stream0, 0,
-                                              poll=poll)
+                                              poll=poll, window=window)
             if swept:
                 self._scatter_stream(s)
             return epoch
@@ -191,11 +193,9 @@ class StreamServer:
                     # (== merge_epochs over its per-chunk epochs with
                     # defer_subframe_poll; see Receiver.run_device)
                     for s in range(s_n):
-                        big = jax.tree.map(
-                            lambda *xs: np.concatenate(xs, axis=0),
-                            *per_stream[s])
-                        yield s, consume_one(s, take[-1][0], big,
-                                             take[0][2], True)
+                        yield s, consume_one(
+                            s, take[-1][0], concat_outs(per_stream[s]),
+                            take[0][2], True, window=True)
                 n -= 1
 
         for ci in range(n_chunks):

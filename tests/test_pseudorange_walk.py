@@ -153,14 +153,15 @@ def _random_lists(rng, cfg, sno0, n_lists):
         lst = []
         for _ in range(n):
             lst.append((sno, cp))
+            # stay inside one ABSOLUTE reporting segment, like real
+            # per-chunk lists ((sno-1)//no_sec constant within a chunk)
+            seg_end = ((lst[0][0] - 1) // cfg.no_sec + 1) * cfg.no_sec
             step = 1 + (int(rng.integers(1, 5))
                         if rng.random() < 0.08 else 0)
-            if sno + step - lst[0][0] >= cfg.no_sec:
-                step = 1      # keep the list single-segment (one chunk)
-                if sno + 1 - lst[0][0] >= cfg.no_sec:
-                    break
             sno += step
             cp += drift * step
+            if sno > seg_end:       # next list opens a new segment
+                break
         lists.append(lst)
         if rng.random() < 0.2:      # inter-list gap
             sno += int(rng.integers(1, 200))

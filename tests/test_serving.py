@@ -76,3 +76,46 @@ def test_stream_server_sharded_matches_unsharded():
         assert len(got_m[s]) == len(got_p[s]) > 0
         for ea, eb in zip(got_m[s], got_p[s]):
             _epochs_equal(ea, eb)
+
+
+def test_stream_server_window_epochs_match_per_chunk():
+    """epoch_per_window serving == merge_epochs over the per-chunk
+    serving stream (the bench serving headline path runs on this exact
+    branch: per-stream outs concat + one consume per window)."""
+    from gps_sdr_tpu.runtime.evaluator import merge_epochs
+
+    sec = 16        # long enough that actual subframes decode
+    scn = make_scenario(CFG, n_sats=4, duration_sec=sec + 6.0, seed=5)
+    dev = DeviceScenarioSynth(scn, noise_std=0.4)
+    t = CFG.no_sec
+    n_chunks = int(round(sec / (t * CFG.block_sec)))
+    w = 4
+
+    cfg_pc = CFG.replace(chunks_per_download=w, defer_subframe_poll=True)
+    pc = StreamServer(cfg_pc, 2)
+    got_pc = {0: [], 1: []}
+    for s, epoch in pc.run(dev.chunk_planar, n_chunks):
+        got_pc[s].append(epoch)
+
+    cfg_w = CFG.replace(chunks_per_download=w, epoch_per_window=True)
+    sw = StreamServer(cfg_w, 2)
+    got_w = {0: [], 1: []}
+    for s, epoch in sw.run(dev.chunk_planar, n_chunks):
+        got_w[s].append(epoch)
+
+    for s in (0, 1):
+        merged = [merge_epochs(got_pc[s][i:i + w])
+                  for i in range(0, len(got_pc[s]), w)]
+        assert len(got_w[s]) == len(merged) > 0
+        for ea, eb in zip(got_w[s], merged):
+            assert sorted(ea.code_phases.items()) == \
+                sorted(eb.code_phases.items())
+            # subframe-carrying frames identical; report frames come
+            # from the window's last chunk only
+            ka = sorted(str(sorted(f.items()))
+                        for f in ea.frames if "ID" in f)
+            kb = sorted(str(sorted(f.items()))
+                        for f in eb.frames if "ID" in f)
+            assert ka == kb
+    assert any("ID" in f for eps in got_w.values()
+               for e in eps for f in e.frames)
