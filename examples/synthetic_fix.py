@@ -65,6 +65,10 @@ def parse_args():
     ap.add_argument("--osc-ppm-rate", type=float, default=0.0,
                     help="TCXO drift in ppm/s (1.65e-3 ~ 2.6 Hz/s "
                          "at L1)")
+    ap.add_argument("--carrier-smoothing", type=int, default=0,
+                    metavar="N",
+                    help="Hatch-filter window in blocks (0 = off): "
+                         "carrier-smoothed pseudoranges")
     ap.add_argument("--quiet", action="store_true",
                     help="suppress the per-second status table")
     return ap.parse_args()
@@ -85,7 +89,7 @@ def main():
     from gps_sdr_tpu.runtime.session import Session
     from gps_sdr_tpu.ui.headless import HeadlessReporter
 
-    cfg = ReceiverConfig()
+    cfg = ReceiverConfig(carrier_smoothing=args.carrier_smoothing)
     if args.osc_ppm or args.osc_ppm_rate:
         # an uncorrected TCXO shifts every Doppler by ~ -ppm*1575.42 Hz
         # in common: widen the search band around the shifted center and

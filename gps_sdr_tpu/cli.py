@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "de-bias pseudoranges (use when the SDR's "
                             "ppm correction is unknown; replaces the "
                             "reference's SDR_FREQCORR calibration)")
+        p.add_argument("--carrier-smoothing", type=int, default=0,
+                       metavar="N",
+                       help="Hatch-filter window in blocks (0 = off): "
+                            "smooth pseudoranges with the tracked "
+                            "carrier's integrated Doppler")
 
     p = sub.add_parser("replay", help="replay a recorded IQ capture")
     p.add_argument("path")
@@ -111,6 +116,8 @@ def make_config(args) -> ReceiverConfig:
         kw.update(conf_height=True, height=args.conf_height)
     if getattr(args, "solve_clock_rate", False):
         kw.update(solve_clock_rate=True)
+    if getattr(args, "carrier_smoothing", 0):
+        kw.update(carrier_smoothing=args.carrier_smoothing)
     return ReceiverConfig(**kw)
 
 

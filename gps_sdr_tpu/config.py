@@ -90,6 +90,15 @@ class ReceiverConfig:
                                     # reference can't do this).  Needs
                                     # >= 5 sats per epoch (auto-falls
                                     # back below that).
+    carrier_smoothing: int = 0      # Hatch-filter window (blocks; 0 =
+                                    # off): smooth code phases with the
+                                    # tracked carrier's integrated
+                                    # Doppler (code Doppler = f/1540
+                                    # chips/s), averaging code noise
+                                    # over ~N blocks with zero lag on
+                                    # real dynamics.  Another accuracy
+                                    # capability the reference lacks
+                                    # (models/pseudorange.py _hatch)
 
     # -- front end --
     sample_rate_factor: int = 1000  # sample_rate = 1000 * code_samples

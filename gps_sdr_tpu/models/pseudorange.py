@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from gps_sdr_tpu.config import GPS_C, ReceiverConfig
+from gps_sdr_tpu.config import GPS_C, L1_FREQ, ReceiverConfig
 from gps_sdr_tpu.models import orbits
 from gps_sdr_tpu.models.ephemeris import EphemerisAssembler, SatStatus
 
@@ -162,6 +162,7 @@ class PseudorangeEngine:
     ref_ephem: dict | None = None
     last_sno: int = 0
     last_cp: float = 0.0
+    hatch_state: tuple | None = None     # (sno, freq, smoothed cp)
     cp_hist: list = field(default_factory=list)     # [(sno, cp)] fit window
     slope_hist: list = field(default_factory=list)  # cp slopes per ms
     phase_err_snos: list = field(default_factory=list)
@@ -263,10 +264,82 @@ class PseudorangeEngine:
             slp_out[a:b] = min(max(slope, -cap), cap)
         return sig_out, slp_out
 
+    # -- carrier smoothing (Hatch filter; no reference equivalent) -----------
+
+    def _hatch(self, snos: np.ndarray, cps: np.ndarray,
+               fqs: np.ndarray) -> np.ndarray:
+        """Carrier-smoothed code phases.
+
+        The tracked carrier's integrated Doppler predicts the
+        code-phase motion exactly (code Doppler = f/1540 chips/s, both
+        clocked by the same oscillator), so code noise can be averaged
+        over cfg.carrier_smoothing blocks with zero lag on real
+        dynamics:  sm_i = a*cp_i + (1-a)*(sm_{i-1} + dphi_i).
+
+        Vectorized via the code-minus-carrier residual: with
+        phi = cumsum(dphi), (sm - phi) is a plain EMA of (cp - phi),
+        which has the closed form below.  Processed in bounded spans so
+        w**-j stays in f64 range; filter state carries across calls and
+        resets on stream gaps > 1 s or a predicted-vs-measured jump
+        (phase error / realignment)."""
+        cfg = self.cfg
+        a = 1.0 / cfg.carrier_smoothing
+        w = 1.0 - a
+        # code phase drifts OPPOSITE to the tracked carrier: with the
+        # tracker's convention FRQ = -L1 * d(tau)/dt (see
+        # evaluator._update_clock_rate), the code-period start moves by
+        # dcp/block = 1000*cs*d(tau - dtsv)/dt * n_cyc*1e-3 = -FRQ*k
+        k = -cfg.n_cyc * cfg.code_samples / L1_FREQ  # samples/(Hz*block)
+        out = np.empty_like(cps)
+        state = self.hatch_state
+        n = len(cps)
+        i0 = 0
+        while i0 < n:
+            i1 = min(i0 + 256, n)
+            s = snos[i0:i1]
+            c = cps[i0:i1]
+            f = fqs[i0:i1]
+            gaps = np.diff(np.concatenate([[state[0] if state else
+                                            s[0]], s])).astype(np.float64)
+            fmid = (np.concatenate([[state[1] if state else f[0]],
+                                    f[:-1]]) + f) * 0.5
+            dphi = k * fmid * gaps
+            if state is not None and (
+                    gaps[0] > cfg.no_sec
+                    or abs(c[0] - (state[2] + dphi[0])) > 100.0):
+                state = None
+            if state is None:
+                dphi[0] = 0.0
+            phi = np.cumsum(dphi)
+            r = c - phi
+            e0 = state[2] if state is not None else r[0]
+            j = np.arange(i1 - i0)
+            wj = w ** j
+            e = wj * w * e0 + a * wj * np.cumsum(r / wj)
+            sm = phi + e
+            out[i0:i1] = sm
+            state = (int(s[-1]), float(f[-1]), float(sm[-1]))
+            i0 = i1
+        self.hatch_state = state
+        return out
+
+    def _aligned_freqs(self, snos: np.ndarray,
+                       freqs: list) -> np.ndarray | None:
+        """Per-entry tracked carrier freq aligned to `snos`, or None if
+        any stream number lacks a freq sample (skip smoothing then)."""
+        if not freqs:
+            return None
+        fsno = np.fromiter((e[0] for e in freqs), np.int64, len(freqs))
+        fval = np.fromiter((e[1] for e in freqs), np.float64, len(freqs))
+        idx = np.searchsorted(fsno, snos)
+        if (idx >= len(fsno)).any() or (fsno[idx] != snos).any():
+            return None
+        return fval[idx]
+
     # -- main entry ----------------------------------------------------------
 
     def eval_code_phases(self, cpl: list, rel_corr: bool = True,
-                         defer: bool = False):
+                         defer: bool = False, freqs: list | None = None):
         """Code-phase list [(stream_no, code_phase), ...] -> result tuples.
 
         Mirrors evalCodePhase (gpslib.py:897-1039).  A leading
@@ -333,6 +406,13 @@ class PseudorangeEngine:
         diff = self.last_cp - cps[0]
         if abs(abs(diff) - cs) <= self.DIFF_TOL:
             cps = cps + np.sign(diff) * cs
+
+        # carrier smoothing AFTER continuity alignment (the filter
+        # state lives in the same unwrapped frame as last_cp)
+        if cfg.carrier_smoothing > 0:
+            fqs = self._aligned_freqs(snos, freqs)
+            if fqs is not None:
+                cps = self._hatch(snos, cps, fqs)
 
         sigma_a, slope_a = self._sigma_and_slope(snos, cps)
         self.cp_hist += list(zip(snos.tolist(), cps.tolist()))

@@ -998,13 +998,15 @@ _LAST_FIELDS = ("amplitude", "corr_q", "corr_l", "freq", "locked",
                 "norm_max", "sweep_request")
 
 
-@functools.partial(jax.jit, static_argnums=1)
-def pack_outs_compact(outs: ChannelOut, cap: int) -> Array:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def pack_outs_compact(outs: ChannelOut, cap: int,
+                      with_freq: bool = False) -> Array:
     """Pack one chunk's ChannelOut into a flat f32[L] transport buffer.
 
-    Layout: [T*C*2 per-block | C*7 last-block | C*2 ms base (hi/lo) |
+    Layout: [T*C*nb per-block | C*7 last-block | C*2 ms base (hi/lo) |
     C*cap*3 edges | C counts].  Per-block columns are (code_phase,
-    sign0+1 + 4*erased).  Edge entries are (flat_pos, ms - base, local)
+    sign0+1 + 4*erased[, freq if with_freq — carrier smoothing]).
+    Edge entries are (flat_pos, ms - base, local)
     sorted by flat_pos = block*(n_cyc+1)+slot with -1 sentinels past
     the valid count; base is the channel's first edge ms, so the delta
     is integer-exact in f32 for any chunk shorter than ~4.6 h while the
@@ -1016,8 +1018,14 @@ def pack_outs_compact(outs: ChannelOut, cap: int) -> Array:
 
     aux = (outs.sign0.astype(f32) + 1.0
            + 4.0 * outs.erased.astype(f32))
-    blocky = jnp.stack([outs.code_phase.astype(f32), aux],
-                       axis=-1)                              # [T, C, 2]
+    cols = [outs.code_phase.astype(f32), aux]
+    if with_freq:
+        # per-block carrier freq rides along (3rd column):
+        # carrier-smoothed pseudoranges (models/pseudorange.py Hatch
+        # filter) need the tracked Doppler per block, not just the
+        # last-block report
+        cols.append(outs.freq.astype(f32))
+    blocky = jnp.stack(cols, axis=-1)                   # [T, C, 2 or 3]
     last = jnp.stack([getattr(outs, n)[-1].astype(f32)
                       for n in _LAST_FIELDS], axis=-1)       # [C, 7]
 
@@ -1044,15 +1052,18 @@ def pack_outs_compact(outs: ChannelOut, cap: int) -> Array:
 
 
 def unpack_outs_compact(buf: np.ndarray, t: int, c: int, sl: int,
-                        cap: int) -> tuple[ChannelOut, np.ndarray]:
+                        cap: int,
+                        with_freq: bool = False
+                        ) -> tuple[ChannelOut, np.ndarray]:
     """Host inverse of pack_outs_compact: rebuild a dense ChannelOut
     (dropped fields zero-filled; last-block fields broadcast over T —
     the consume path only reads their [-1] row).  Returns (outs,
     n_dropped_edges[c])."""
     cap = min(cap, t * sl)
+    nb = 3 if with_freq else 2
     off = 0
-    blocky = buf[off:off + t * c * 2].reshape(t, c, 2)
-    off += t * c * 2
+    blocky = buf[off:off + t * c * nb].reshape(t, c, nb)
+    off += t * c * nb
     last = buf[off:off + c * 7].reshape(c, 7)
     off += c * 7
     base = (np.rint(buf[off:off + c]).astype(np.int64) * _EDGE_MS_SPLIT
@@ -1086,7 +1097,8 @@ def unpack_outs_compact(buf: np.ndarray, t: int, c: int, sl: int,
         amplitude=lastv["amplitude"],
         corr_q=lastv["corr_q"],
         corr_l=lastv["corr_l"],
-        freq=lastv["freq"],
+        freq=(blocky[..., 2] if with_freq   # per-block: Hatch input
+              else lastv["freq"]),
         locked=lastv["locked"] > 0.5,
         erased=aux >= 4,
         sweep_request=lastv["sweep_request"] > 0.5,

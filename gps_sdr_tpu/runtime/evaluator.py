@@ -97,6 +97,9 @@ class EpochInput:
     skipped_samples: int
     frames: list                      # subframe dicts incl. SAT/AMP/CRM/FRQ
     code_phases: dict                 # {sat_no: [(stream_no, cp), ...]}
+    carrier_freqs: dict | None = None
+    # {sat_no: [(stream_no, tracked Hz)]}, aligned 1:1 with code_phases
+    # entries; present when cfg.carrier_smoothing > 0 (Hatch filter)
 
 
 def merge_epochs(epochs: list) -> EpochInput:
@@ -114,12 +117,15 @@ def merge_epochs(epochs: list) -> EpochInput:
         return epochs[0]
     frames = [sf for e in epochs for sf in e.frames]
     coph: dict = {}
+    cfrq: dict = {}
     for e in epochs:
         for sat, lst in e.code_phases.items():
             coph.setdefault(sat, []).extend(lst)
+        for sat, lst in (e.carrier_freqs or {}).items():
+            cfrq.setdefault(sat, []).extend(lst)
     return EpochInput(
         skipped_samples=sum(e.skipped_samples for e in epochs),
-        frames=frames, code_phases=coph)
+        frames=frames, code_phases=coph, carrier_freqs=cfrq or None)
 
 
 @dataclass
@@ -184,7 +190,8 @@ class Evaluator:
 
     # -- per-satellite evaluation (evalData, gpseval.py:197-232) --
 
-    def _eval_sats(self, frames: list, cpl: dict):
+    def _eval_sats(self, frames: list, cpl: dict,
+                   cfrq: dict | None = None):
         gps_time = None
         for sf in frames:
             sat_no = sf.get("SAT")
@@ -203,7 +210,8 @@ class Evaluator:
             eng = self.engine(sat_no)
             if eng.status > SatStatus.NOT_READY:
                 self.err_msgs[sat_no] = eng.status.name
-            d = eng.eval_code_phases(lst, defer=True)
+            d = eng.eval_code_phases(lst, defer=True,
+                                     freqs=(cfrq or {}).get(sat_no))
             if d:
                 deferred.append(d)
                 active.add(sat_no)
@@ -395,7 +403,8 @@ class Evaluator:
         """Consume one reporting interval; returns a summary dict."""
         self.skipped_blocks += epoch.skipped_samples // self.cfg.ngps
         cpl = self._prep_code_phases(epoch.code_phases)
-        sat_res, active, gps_time = self._eval_sats(epoch.frames, cpl)
+        sat_res, active, gps_time = self._eval_sats(
+            epoch.frames, cpl, epoch.carrier_freqs)
         sat_pos_list, rec_pos, fails = self._fix_epochs(sat_res)
         if self.cfg.solve_clock_rate:
             self._update_clock_rate(epoch.frames, sat_res)

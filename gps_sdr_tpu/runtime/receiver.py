@@ -236,6 +236,7 @@ class Receiver:
 
         # code phases + nav bits per slot (vectorized host ingest)
         coph: dict = {}
+        cfrq: dict = {}
         for slot, prn in enumerate(self.slots.slot_prn):
             if prn == 0:
                 continue
@@ -246,8 +247,13 @@ class Receiver:
             cp = outs.code_phase[:, slot]
             ok = np.nonzero(cp >= 0)[0]
             if ok.size:
-                coph[prn] = list(zip((stream0 + ok).tolist(),
+                snos = (stream0 + ok).tolist()
+                coph[prn] = list(zip(snos,
                                      cp[ok].astype(float).tolist()))
+                if cfg.carrier_smoothing > 0:
+                    fq = outs.freq[:, slot]
+                    cfrq[prn] = list(zip(snos,
+                                         fq[ok].astype(float).tolist()))
             self.corr_quality[prn] = (float(outs.corr_q[-1, slot]),
                                       float(outs.corr_l[-1, slot]))
 
@@ -285,7 +291,8 @@ class Receiver:
                     sf["SWP"] = True
 
         epoch = EpochInput(skipped_samples=skipped * cfg.ngps,
-                           frames=frames, code_phases=coph)
+                           frames=frames, code_phases=coph,
+                           carrier_freqs=cfrq or None)
         return epoch, swept
 
     def _process_chunk(self, chunk, swept_slots, skipped):
@@ -355,7 +362,7 @@ class Receiver:
                         zip(take, host)):
                     outs, dropped = unpack_outs_compact(
                         row, len(chunk), cfg.max_sat,
-                        self._edge_sl, cap)
+                        self._edge_sl, cap, cfg.carrier_smoothing > 0)
                     self.status.edge_overflows += int(dropped.sum())
                     if cfg.epoch_per_window:
                         outs_list.append(outs)
@@ -392,7 +399,9 @@ class Receiver:
             chunk = _DeviceChunk(blocks_dev)
             self.status.stream_no = first
             outs_dev, stream0 = self._dispatch_chunk(chunk)
-            held.append((chunk, pack_outs_compact(outs_dev, cap),
+            held.append((chunk,
+                         pack_outs_compact(outs_dev, cap,
+                                           cfg.carrier_smoothing > 0),
                          stream0))
             if len(held) == w:
                 flush_held()

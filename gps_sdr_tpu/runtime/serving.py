@@ -30,10 +30,10 @@ from gps_sdr_tpu.runtime.receiver import (Receiver, _DeviceChunk,
                                           _download_block, concat_outs)
 
 
-@functools.partial(jax.jit, static_argnums=1)
-def _pack_streams(outs, cap: int):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _pack_streams(outs, cap: int, with_freq: bool = False):
     """vmap pack_outs_compact over the stream axis -> [S, L] f32."""
-    return jax.vmap(lambda o: pack_outs_compact(o, cap))(outs)
+    return jax.vmap(lambda o: pack_outs_compact(o, cap, with_freq))(outs)
 
 
 @jax.jit
@@ -181,7 +181,8 @@ class StreamServer:
                             or i == len(take) - 1)
                     for s, rec in enumerate(self.receivers):
                         outs, dropped = unpack_outs_compact(
-                            win[s], t, cfg.max_sat, sl, cap)
+                            win[s], t, cfg.max_sat, sl, cap,
+                            cfg.carrier_smoothing > 0)
                         rec.status.edge_overflows += int(dropped.sum())
                         if per_stream is not None:
                             per_stream[s].append(outs)
@@ -228,7 +229,10 @@ class StreamServer:
             for rec in self.receivers:
                 rec.status.stream_no += t
                 rec.status.blocks_processed += t
-            held.append((chunks, _pack_streams(outs, cap), stream0))
+            held.append((chunks,
+                         _pack_streams(outs, cap,
+                                       cfg.carrier_smoothing > 0),
+                         stream0))
             if len(held) == w:
                 flush_held()
             if len(windows) >= inflight:

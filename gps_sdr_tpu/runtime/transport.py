@@ -27,11 +27,34 @@ CTRL_PORT = 61432
 MAX_PAYLOAD = 65_504
 
 
+def _wire(epoch: EpochInput) -> bytes:
+    """Wire format: 3-tuple, or 4-tuple when carrier freqs ride along
+    (carrier_smoothing mode); receivers accept both."""
+    base = (epoch.skipped_samples, epoch.frames, epoch.code_phases)
+    if epoch.carrier_freqs:
+        return pickle.dumps(base + (epoch.carrier_freqs,))
+    return pickle.dumps(base)
+
+
+def _sub_freqs(epoch: EpochInput, coph: dict,
+               tail: dict | None = None) -> dict | None:
+    """carrier_freqs restricted to a code-phase sub-dict's sats (and,
+    for list splits, the matching stream-number range)."""
+    cf = epoch.carrier_freqs
+    if not cf:
+        return None
+    out = {}
+    for sat, lst in coph.items():
+        if sat not in cf:
+            continue
+        snos = {s for s, _ in lst}
+        out[sat] = [e for e in cf[sat] if e[0] in snos]
+    return out or None
+
+
 def _split_epoch(epoch: EpochInput):
     """Yield EpochInputs whose pickles fit the datagram budget."""
-    payload = pickle.dumps(
-        (epoch.skipped_samples, epoch.frames, epoch.code_phases))
-    if len(payload) <= MAX_PAYLOAD:
+    if len(_wire(epoch)) <= MAX_PAYLOAD:
         yield epoch
         return
     # split the code-phase dict (the only unbounded part) in half by sat
@@ -40,16 +63,21 @@ def _split_epoch(epoch: EpochInput):
         (sat,) = sats or (None,)
         lst = epoch.code_phases.get(sat, [])
         mid = len(lst) // 2
+        ha, hb = {sat: lst[:mid]}, {sat: lst[mid:]}
         yield from _split_epoch(EpochInput(
-            epoch.skipped_samples, epoch.frames, {sat: lst[:mid]}))
-        yield from _split_epoch(EpochInput(0, [], {sat: lst[mid:]}))
+            epoch.skipped_samples, epoch.frames, ha,
+            carrier_freqs=_sub_freqs(epoch, ha)))
+        yield from _split_epoch(EpochInput(
+            0, [], hb, carrier_freqs=_sub_freqs(epoch, hb)))
         return
     mid = len(sats) // 2
     a = {s: epoch.code_phases[s] for s in sats[:mid]}
     b = {s: epoch.code_phases[s] for s in sats[mid:]}
-    yield from _split_epoch(
-        EpochInput(epoch.skipped_samples, epoch.frames, a))
-    yield from _split_epoch(EpochInput(0, [], b))
+    yield from _split_epoch(EpochInput(
+        epoch.skipped_samples, epoch.frames, a,
+        carrier_freqs=_sub_freqs(epoch, a)))
+    yield from _split_epoch(EpochInput(
+        0, [], b, carrier_freqs=_sub_freqs(epoch, b)))
 
 
 class EpochSender:
@@ -66,9 +94,7 @@ class EpochSender:
     def send(self, epoch: EpochInput) -> int:
         n = 0
         for part in _split_epoch(epoch):
-            payload = pickle.dumps(
-                (part.skipped_samples, part.frames, part.code_phases))
-            self._sock.sendto(payload, self._addr)
+            self._sock.sendto(_wire(part), self._addr)
             n += 1
         return n
 
@@ -103,8 +129,9 @@ class EpochReceiver:
             payload, _ = self._sock.recvfrom(MAX_PAYLOAD + 256)
         except BlockingIOError:
             return None
-        skipped, frames, coph = pickle.loads(payload)
-        return EpochInput(skipped, frames, coph)
+        skipped, frames, coph, *rest = pickle.loads(payload)
+        return EpochInput(skipped, frames, coph,
+                          carrier_freqs=rest[0] if rest else None)
 
     def request_sweep(self) -> None:
         self._ctrl.sendto(b"SWEEP", self._ctrl_addr)
