@@ -36,8 +36,7 @@ def _wire(epoch: EpochInput) -> bytes:
     return pickle.dumps(base)
 
 
-def _sub_freqs(epoch: EpochInput, coph: dict,
-               tail: dict | None = None) -> dict | None:
+def _sub_freqs(epoch: EpochInput, coph: dict) -> dict | None:
     """carrier_freqs restricted to a code-phase sub-dict's sats (and,
     for list splits, the matching stream-number range)."""
     cf = epoch.carrier_freqs
