@@ -115,8 +115,10 @@ class Session:
 
     def _consume(self, epoch: EpochInput) -> None:
         if self.record_epochs_to is not None:
-            self.records.append(
-                (epoch.skipped_samples, epoch.frames, epoch.code_phases))
+            rec = (epoch.skipped_samples, epoch.frames, epoch.code_phases)
+            if epoch.carrier_freqs:
+                rec += (epoch.carrier_freqs,)
+            self.records.append(rec)
         summary = self.evaluator.process(epoch)
         self.summaries.append(summary)
         if self.reporter is not None:
