@@ -232,34 +232,42 @@ class PseudorangeEngine:
         bounds = np.nonzero(np.diff(seg))[0] + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [n]])
+        counts = ends - starts
+        # per-segment LS slope + residual std via reduceat sums over
+        # segment-centered coordinates (residuals of a LS line have
+        # zero mean, so std^2 = var_y - cov^2/var_x exactly)
+        x = (snos - np.repeat(snos[starts], counts)).astype(np.float64)
+        y = cps - np.repeat(cps[starts], counts)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        sxy = np.add.reduceat(x * y, starts)
+        syy = np.add.reduceat(y * y, starts)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mx = sx / counts
+            my = sy / counts
+            var_x = sxx / counts - mx * mx
+            cov = sxy / counts - mx * my
+            var_y = syy / counts - my * my
+            sl = np.where(var_x > 0, cov / np.where(var_x > 0, var_x, 1),
+                          0.0)
+            sig = np.sqrt(np.maximum(var_y - sl * cov, 0.0))
         sig_out = np.empty(n, np.float64)
         slp_out = np.empty(n, np.float64)
         cap = max_slope(cfg)
         max_hist = 1024 // cfg.n_cyc
         m_per_smp = GPS_C / cfg.sample_rate
-        for a, b in zip(starts, ends):
-            if b - a > 3:
-                # one centered pass: LS slope and residual std from the
-                # same sums (residuals of a LS line have zero mean, so
-                # std^2 = var_y - cov^2/var_x exactly)
-                x = (snos[a:b] - snos[a]).astype(np.float64)
-                y = cps[a:b] - cps[a]
-                k = b - a
-                mx = x.mean()
-                my = y.mean()
-                var_x = x @ x / k - mx * mx
-                cov = x @ y / k - mx * my
-                var_y = y @ y / k - my * my
-                sl = cov / var_x if var_x else 0.0
-                sigma = float(np.sqrt(max(var_y - sl * cov, 0.0)))
-                self.slope_hist.append(sl / cfg.n_cyc)
-                if len(self.slope_hist) > max_hist:
-                    del self.slope_hist[0]
+        hist = self.slope_hist       # sequential: progressive per segment
+        for i in range(len(starts)):
+            if counts[i] > 3:
+                hist.append(sl[i] / cfg.n_cyc)
+                if len(hist) > max_hist:
+                    del hist[0]
+                sigma = sig[i]
             else:
                 sigma = 0.5
-            slope = 0.0
-            if len(self.slope_hist) > 4:
-                slope = float(np.mean(self.slope_hist))
+            slope = sum(hist) / len(hist) if len(hist) > 4 else 0.0
+            a, b = starts[i], ends[i]
             sig_out[a:b] = sigma * m_per_smp
             slp_out[a:b] = min(max(slope, -cap), cap)
         return sig_out, slp_out

@@ -304,7 +304,11 @@ class Evaluator:
                 except Exception:
                     pass
 
-        # pass 3: classification + bookkeeping, in epoch order
+        # pass 3: classification + bookkeeping, in epoch order.  The
+        # POSIX stamp is one datetime per distinct (tow, week) plus the
+        # cycle offset — building a datetime per epoch was measurable
+        # at the merged-window epoch counts
+        tcache: dict = {}
         for e in range(E):
             tw, cy = int(ktow[e]), int(kcyc[e])
             fix = fixes.get(e)
@@ -313,10 +317,12 @@ class Evaluator:
                 continue
             if fix.residual <= cfg.max_residual:
                 week = int(sat_res.week[order[gs[e]]])
-                t = gps_datetime(tw, week) + datetime.timedelta(
-                    seconds=cy * cfg.n_cyc / 1000)
+                base = tcache.get((tw, week))
+                if base is None:
+                    base = gps_datetime(tw, week).timestamp()
+                    tcache[(tw, week)] = base
                 entry = fix.rec_pos.copy()
-                entry[0] = t.timestamp()
+                entry[0] = base + cy * cfg.n_cyc / 1000
                 rec_pos.append(entry)
                 self.warm_start = np.concatenate(
                     [[0.0], fix.rec_pos[1:]])
