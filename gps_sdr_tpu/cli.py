@@ -75,6 +75,24 @@ def build_parser() -> argparse.ArgumentParser:
                        help="Hatch-filter window in blocks (0 = off): "
                             "smooth pseudoranges with the tracked "
                             "carrier's integrated Doppler")
+        p.add_argument("--almanac-cache", default=None, metavar="PATH",
+                       help="JSON almanac + iono-coefficient cache "
+                            "(decoded SF4/5 pages; written at exit, "
+                            "preloaded at start — valid for weeks)")
+        p.add_argument("--warm-start", default=None,
+                       metavar="LAT,LON[,ALT[,TOW]]",
+                       help="arm an almanac warm start: predict the "
+                            "visible PRNs/Dopplers at this rough "
+                            "position (and optional GPS TOW; default: "
+                            "now) and shrink the cold sweep; needs "
+                            "--almanac-cache with a valid almanac")
+        p.add_argument("--iono-corr", action="store_true",
+                       help="correct pseudoranges with the Klobuchar "
+                            "ionosphere model from the decoded "
+                            "subframe-4 page-18 coefficients")
+        p.add_argument("--tropo-corr", action="store_true",
+                       help="correct pseudoranges with the "
+                            "Saastamoinen troposphere model")
 
     p = sub.add_parser("replay", help="replay a recorded IQ capture")
     p.add_argument("path")
@@ -118,6 +136,10 @@ def make_config(args) -> ReceiverConfig:
         kw.update(solve_clock_rate=True)
     if getattr(args, "carrier_smoothing", 0):
         kw.update(carrier_smoothing=args.carrier_smoothing)
+    if getattr(args, "iono_corr", False):
+        kw.update(iono_corr=True)
+    if getattr(args, "tropo_corr", False):
+        kw.update(tropo_corr=True)
     return ReceiverConfig(**kw)
 
 
@@ -254,6 +276,28 @@ def _save_outputs(args, cfg, ev) -> None:
             save_map(f"{args.out}_map.html", ecef_to_geo(ev.stat[0]), track)
 
 
+def _arm_warm_start(spec: str, session) -> None:
+    """--warm-start LAT,LON[,ALT[,TOW]]: shrink the cold sweep from the
+    cached almanac (models/almanac.py; the reference always sweeps all
+    31 PRNs over the full band)."""
+    from gps_sdr_tpu.utils.geodesy import geo_to_ecef
+    from gps_sdr_tpu.utils.gpstime import gps_week_tow
+
+    parts = [float(v) for v in spec.split(",")]
+    lat, lon = parts[0], parts[1]
+    alt = parts[2] if len(parts) > 2 else 0.0
+    tow = int(parts[3]) if len(parts) > 3 else gps_week_tow()[1]
+    alms = session.evaluator.almanacs
+    if not alms:
+        print("warm start: no almanac cached - full sweep")
+        return
+    ok = session.receiver.warm_start(alms, geo_to_ecef(lat, lon, alt),
+                                     tow)
+    print("warm start: sweep narrowed to "
+          f"{len(session.receiver.warm_hints[0])} PRNs" if ok
+          else "warm start: too few predicted sats - full sweep")
+
+
 def run_in_process(args, cfg) -> int:
     """Default single-process topology via Session."""
     from gps_sdr_tpu.runtime.session import Session
@@ -280,8 +324,12 @@ def run_in_process(args, cfg) -> int:
                   f"{args.start_stream}")
     else:
         session = Session(cfg, ephem_cache_path=args.ephem_cache,
+                          almanac_cache_path=getattr(
+                              args, "almanac_cache", None),
                           record_epochs_to=args.record_epochs,
                           reporter=make_reporter(args))
+    if getattr(args, "warm_start", None):
+        _arm_warm_start(args.warm_start, session)
     n_prior_epochs = len(session.summaries)
     if args.mode == "epochs":
         from gps_sdr_tpu.utils.io import load_epoch_records

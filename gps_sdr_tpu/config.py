@@ -99,6 +99,17 @@ class ReceiverConfig:
                                     # real dynamics.  Another accuracy
                                     # capability the reference lacks
                                     # (models/pseudorange.py _hatch)
+    iono_corr: bool = False         # correct pseudoranges with the
+                                    # Klobuchar model driven by the
+                                    # subframe-4 page-18 coefficients
+                                    # (models/atmosphere.py).  The
+                                    # reference decodes no SF4/5 pages
+                                    # and models no atmosphere — its
+                                    # README attributes systematic
+                                    # errors >20 m to this omission
+    tropo_corr: bool = False        # correct pseudoranges with the
+                                    # Saastamoinen troposphere model
+                                    # (needs no broadcast data)
 
     # -- front end --
     sample_rate_factor: int = 1000  # sample_rate = 1000 * code_samples

@@ -114,14 +114,81 @@ _SF_FIELDS = {
         ("IDOT", [(9, 8, 22)], True, 2.0 ** -43 * GPS_PI),
         ("IODE3", [(9, 0, 8)], False, 1),
     ],
-    4: [],
-    5: [],
+    # Subframes 4/5 are paged: every page carries data ID + SV(page) ID
+    # in word 3; the remaining fields depend on the page (IS-GPS-200
+    # 20.3.3.5).  The reference decodes nothing here (ID/tow only,
+    # gpslib.py:1565-1568, stubs commented out at gpslib.py:373-377) —
+    # full page decode is what enables the Klobuchar ionosphere model
+    # and the almanac warm start this framework adds.
+    4: [
+        ("dataID", [(2, 0, 2)], False, 1),
+        ("svID", [(2, 2, 8)], False, 1),
+    ],
+    5: [
+        ("dataID", [(2, 0, 2)], False, 1),
+        ("svID", [(2, 2, 8)], False, 1),
+    ],
 }
+
+# Subframe 4 page 18 (svID 56): ionospheric + UTC parameters
+# (IS-GPS-200 Figure 20-1 sheet 8; 20.3.3.5.1.6-7).
+_SF4_PAGE18 = [
+    ("alpha0", [(2, 8, 16)], True, 2.0 ** -30),
+    ("alpha1", [(2, 16, 24)], True, 2.0 ** -27),
+    ("alpha2", [(3, 0, 8)], True, 2.0 ** -24),
+    ("alpha3", [(3, 8, 16)], True, 2.0 ** -24),
+    ("beta0", [(3, 16, 24)], True, 2.0 ** 11),
+    ("beta1", [(4, 0, 8)], True, 2.0 ** 14),
+    ("beta2", [(4, 8, 16)], True, 2.0 ** 16),
+    ("beta3", [(4, 16, 24)], True, 2.0 ** 16),
+    ("utcA1", [(5, 0, 24)], True, 2.0 ** -50),
+    ("utcA0", [(6, 0, 24), (7, 0, 8)], True, 2.0 ** -30),
+    ("utcTot", [(7, 8, 16)], False, 2 ** 12),
+    ("utcWNt", [(7, 16, 24)], False, 1),
+    ("dtLS", [(8, 0, 8)], True, 1),
+    ("WNlsf", [(8, 8, 16)], False, 1),
+    ("DN", [(8, 16, 24)], False, 1),
+    ("dtLSF", [(9, 0, 8)], True, 1),
+]
+
+# Almanac pages (SF5 pages 1-24 = svID 1-24; SF4 pages 2-5, 7-10 =
+# svID 25-32): reduced-precision ephemeris for one SV (IS-GPS-200
+# Figure 20-1 sheet 4; 20.3.3.5.1.2).  Angles in the same
+# GPS_PI-multiplied radian convention as the precise ephemeris fields.
+_ALMANAC = [
+    ("almE", [(2, 8, 24)], False, 2.0 ** -21),
+    ("almToa", [(3, 0, 8)], False, 2 ** 12),
+    ("almDeltaI", [(3, 8, 24)], True, 2.0 ** -19 * GPS_PI),
+    ("almOmegaDot", [(4, 0, 16)], True, 2.0 ** -38 * GPS_PI),
+    ("almHealth", [(4, 16, 24)], False, 1),
+    ("almSqrtA", [(5, 0, 24)], False, 2.0 ** -11),
+    ("almOmega0", [(6, 0, 24)], True, 2.0 ** -23 * GPS_PI),
+    ("almOmegaSmall", [(7, 0, 24)], True, 2.0 ** -23 * GPS_PI),
+    ("almM0", [(8, 0, 24)], True, 2.0 ** -23 * GPS_PI),
+    ("almAf0", [(9, 0, 8), (9, 19, 22)], True, 2.0 ** -20),
+    ("almAf1", [(9, 8, 19)], True, 2.0 ** -38),
+]
+
+IONO_PAGE_SVID = 56      # SF4 page 18
+
+
+def _page_fields(sf_id: int, data_id: int, sv_id: int) -> list:
+    """Page-specific field table of a subframe-4/5 page (empty for
+    reserved pages / dummy-SV fill).  dataID must be 1 ('01', the only
+    value defined for the LNAV upload)."""
+    if sf_id not in (4, 5) or data_id != 1:
+        return []
+    if sf_id == 4 and sv_id == IONO_PAGE_SVID:
+        return _SF4_PAGE18
+    if 1 <= sv_id <= 32:
+        return _ALMANAC
+    return []
 
 
 def field_scale(sf_id: int, name: str) -> float:
     """LSB scale factor of a subframe field (for quantization-aware tests)."""
-    for n, _, _, scale in _COMMON + _SF_FIELDS[sf_id]:
+    pages = _SF4_PAGE18 if sf_id == 4 else (_ALMANAC if sf_id == 5 else [])
+    for n, _, _, scale in _COMMON + _SF_FIELDS[sf_id] + pages:
         if n == name:
             return scale
     raise KeyError(name)
@@ -193,6 +260,11 @@ def decode_subframe(sub300: np.ndarray) -> dict | None:
         bits = np.concatenate([w[wi, lo:hi] for wi, lo, hi in spans])
         v = _bits_to_int(bits, signed) * scale
         out[name] = v if scale != 1 else int(v)
+    for name, spans, signed, scale in _page_fields(
+            sf_id, out.get("dataID", 0), out.get("svID", 0)):
+        bits = np.concatenate([w[wi, lo:hi] for wi, lo, hi in spans])
+        v = _bits_to_int(bits, signed) * scale
+        out[name] = v if scale != 1 else int(v)
     return out
 
 
@@ -237,15 +309,24 @@ def encode_subframe(sf_id: int, fields: dict, tow: int,
     else:
         src = np.zeros((10, 24), dtype=np.int8)
     src[0, :8] = PREAMBLE
-    # fields not specified by the caller decode as pseudo-random values;
-    # zero them for the defined tables so partial dicts stay faithful
-    for name, spans, _, _ in _COMMON + _SF_FIELDS[sf_id]:
-        for wi, lo, hi in spans:
-            src[wi, lo:hi] = 0
     values = dict(fields)
     values["tow"] = tow
     values["ID"] = sf_id
-    for name, spans, signed, scale in _COMMON + _SF_FIELDS[sf_id]:
+    if sf_id in (4, 5):
+        # page layout follows the caller's dataID/svID; default fill is
+        # a dummy-SV page (dataID 1, svID 0) so random reserved bits
+        # can't masquerade as an almanac or iono page downstream
+        values.setdefault("dataID", 1)
+        values.setdefault("svID", 0)
+    layout = (_COMMON + _SF_FIELDS[sf_id]
+              + _page_fields(sf_id, values.get("dataID", 0),
+                             values.get("svID", 0)))
+    # fields not specified by the caller decode as pseudo-random values;
+    # zero them for the defined tables so partial dicts stay faithful
+    for name, spans, _, _ in layout:
+        for wi, lo, hi in spans:
+            src[wi, lo:hi] = 0
+    for name, spans, signed, scale in layout:
         if name not in values:
             continue
         v = values[name]

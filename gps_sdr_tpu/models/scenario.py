@@ -98,14 +98,23 @@ class SatScenario:
     #                                 [20ms*(b + bit0), ...)
     bit0: int = 0                   # global bit index of nav_stream[0]
 
-    def build_nav_stream(self, tow_first: int, n_subframes: int):
+    def build_nav_stream(self, tow_first: int, n_subframes: int,
+                         page_fields=None):
         """Encode subframes tow_first..+n cycling IDs 1..5 with the
-        correct ephemeris payload."""
+        correct ephemeris payload.
+
+        `page_fields(sf_id, tow) -> dict | None` supplies subframe-4/5
+        page payloads (iono page 18, almanac pages); None / absent
+        encodes a dummy-SV page."""
         frames = []
         for k in range(n_subframes):
             tow = tow_first + k
             sf_id = (tow - 1) % 5 + 1
-            fields = self.eph if sf_id in (1, 2, 3) else {}
+            if sf_id in (1, 2, 3):
+                fields = self.eph
+            else:
+                fields = (page_fields(sf_id, tow) if page_fields
+                          else None) or {}
             frames.append(navmsg.encode_subframe(sf_id, fields, tow))
         bits01 = np.concatenate(frames)
         self.nav_stream = (2 * bits01 - 1).astype(np.int8)
@@ -136,6 +145,16 @@ class Scenario:
     # -2*pi*L1*clock_err.
     osc_ppm: float = 0.0                # fractional offset at t=0 [ppm]
     osc_ppm_rate: float = 0.0           # drift [ppm/s]
+    # Atmospheric truth model (models/atmosphere.py): when set, every
+    # satellite's signal picks up the Klobuchar ionospheric and/or
+    # Saastamoinen tropospheric group delay along its line of sight —
+    # the systematic meter-class error source the reference never
+    # models (README.md:26).  iono_alpha/iono_beta are the broadcast
+    # page-18 coefficients (quantized), also encoded into the nav
+    # message so the receiver can decode and correct them.
+    iono_alpha: tuple | None = None
+    iono_beta: tuple | None = None
+    model_tropo: bool = False
 
     def clock_err(self, dt):
         """Accumulated receiver-clock error [s] at nominal receiver
@@ -160,8 +179,49 @@ class Scenario:
                           + (yr - self.rec_ecef[1]) ** 2
                           + (z - self.rec_ecef[2]) ** 2)
             tau = rng / GPS_C
+        if self.iono_alpha is not None or self.model_tropo:
+            # atmospheric group delay along the line of sight; applied
+            # to tau (carrier) AND tau_sv (code/data timing).  The
+            # ionosphere's equal-and-opposite carrier-phase ADVANCE is
+            # not modeled: it only matters through code-carrier
+            # divergence, which is sub-centimeter over the Hatch
+            # filter's ~100-block windows at these delay dynamics.
+            from gps_sdr_tpu.models.atmosphere import (azim_elev_batch,
+                                                       klobuchar_delay,
+                                                       tropo_delay)
+            sat_xyz = np.stack([np.atleast_1d(xr), np.atleast_1d(yr),
+                                np.atleast_1d(z)], axis=1)
+            el, az = azim_elev_batch(self.rec_ecef, sat_xyz)
+            el = el.reshape(np.shape(tau))
+            az = az.reshape(np.shape(tau))
+            if self.iono_alpha is not None:
+                lat, lon, _ = self.rec_geo
+                tau = tau + klobuchar_delay(
+                    self.iono_alpha, self.iono_beta, np.deg2rad(lat),
+                    np.deg2rad(lon), el, az,
+                    np.mod(t, 7 * 86400.0))
+            if self.model_tropo:
+                tau = tau + tropo_delay(el, self.rec_geo[2])
         tau_sv = t - tau + dtsv
         return tau, tau_sv
+
+
+# typical mid-latitude broadcast coefficients, chosen as exact
+# multiples of the page-18 LSBs
+DEFAULT_IONO_ALPHA = (1.1176e-08, 1.4901e-08, -5.9605e-08, -1.1921e-07)
+DEFAULT_IONO_BETA = (90112.0, 49152.0, -131072.0, -327680.0)
+
+
+def _quantize_iono(alpha, beta):
+    """Round iono coefficients to their broadcast LSBs so the injected
+    truth matches what the receiver decodes bit-exactly."""
+    qa = tuple(round(v / navmsg.field_scale(4, f"alpha{i}"))
+               * navmsg.field_scale(4, f"alpha{i}")
+               for i, v in enumerate(alpha))
+    qb = tuple(round(v / navmsg.field_scale(4, f"beta{i}"))
+               * navmsg.field_scale(4, f"beta{i}")
+               for i, v in enumerate(beta))
+    return qa, qb
 
 
 def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
@@ -170,27 +230,65 @@ def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
                   rx_start_offset: float = 0.25,
                   duration_sec: float = 40.0,
                   seed: int = 0, osc_ppm: float = 0.0,
-                  osc_ppm_rate: float = 0.0) -> Scenario:
+                  osc_ppm_rate: float = 0.0,
+                  iono: bool | tuple = False, tropo: bool = False,
+                  broadcast_almanac: bool = False) -> Scenario:
     """Build a scenario: receiver at `rec_geo` (default: the reference's
     golden-fix coordinates, README.md:185), `n_sats` visible satellites
     with randomized ephemerides, nav streams covering `duration_sec`.
     osc_ppm/osc_ppm_rate inject the receiver-TCXO error model (common
-    Doppler offset + code-clock skew; see Scenario)."""
+    Doppler offset + code-clock skew; see Scenario).
+
+    iono=True injects Klobuchar ionospheric delays (DEFAULT_IONO_* or a
+    custom (alpha, beta) tuple) and broadcasts the coefficients in
+    subframe 4 page 18; tropo=True injects tropospheric delays;
+    broadcast_almanac=True cycles every satellite's almanac page through
+    the subframe-5 slots (for warm-start acquisition tests)."""
     rng = np.random.default_rng(seed)
     rec_ecef = np.array(geo_to_ecef(*rec_geo))
     t_rx0 = orbits.tsv_of_tow(tow0) + rx_start_offset
+    iono_alpha = iono_beta = None
+    if iono:
+        a, b = iono if isinstance(iono, tuple) else (DEFAULT_IONO_ALPHA,
+                                                     DEFAULT_IONO_BETA)
+        iono_alpha, iono_beta = _quantize_iono(a, b)
+
     sats = []
     prns = rng.choice(np.arange(2, 33), size=n_sats, replace=False)
     n_subframes = int(np.ceil(duration_sec / 6)) + 3
     for prn in prns:
         eph = random_visible_ephemeris(rec_ecef, tow0, week, rng)
-        sat = SatScenario(prn=int(prn), eph=eph,
-                          amplitude=float(rng.uniform(0.7, 1.2)))
-        sat.build_nav_stream(tow0, n_subframes)
-        sats.append(sat)
+        sats.append(SatScenario(prn=int(prn), eph=eph,
+                                amplitude=float(rng.uniform(0.7, 1.2))))
+
+    page18 = None
+    if iono_alpha is not None:
+        page18 = {"dataID": 1, "svID": navmsg.IONO_PAGE_SVID,
+                  "dtLS": 18, "utcWNt": week & 255}
+        page18.update({f"alpha{i}": v for i, v in enumerate(iono_alpha)})
+        page18.update({f"beta{i}": v for i, v in enumerate(iono_beta)})
+    alm_pages = []
+    if broadcast_almanac:
+        from gps_sdr_tpu.models.almanac import almanac_from_ephem
+        for s in sats:
+            page = almanac_from_ephem(s.eph)
+            page.update({"dataID": 1, "svID": s.prn})
+            alm_pages.append(page)
+
+    def page_fields(sf_id, tow):
+        if sf_id == 4:
+            return page18
+        if sf_id == 5 and alm_pages:
+            return alm_pages[(tow // 5) % len(alm_pages)]
+        return None
+
+    for sat in sats:
+        sat.build_nav_stream(tow0, n_subframes, page_fields)
     return Scenario(cfg=cfg, rec_geo=rec_geo, rec_ecef=rec_ecef, week=week,
                     tow0=tow0, t_rx0=t_rx0, sats=sats,
-                    osc_ppm=osc_ppm, osc_ppm_rate=osc_ppm_rate)
+                    osc_ppm=osc_ppm, osc_ppm_rate=osc_ppm_rate,
+                    iono_alpha=iono_alpha, iono_beta=iono_beta,
+                    model_tropo=tropo)
 
 
 def synth_scenario_blocks(scn: Scenario, first_block: int, n_blocks: int,

@@ -100,19 +100,23 @@ acquire = functools.partial(jax.jit, static_argnums=(0,))(acquire_impl)
 
 def acquire_all(cfg: ReceiverConfig, block: np.ndarray,
                 code_fft_table: np.ndarray,
-                prns=None) -> list[tuple[float, int, float, int]]:
+                prns=None, dopplers=None
+                ) -> list[tuple[float, int, float, int]]:
     """Host convenience: acquire `prns` (default: the full search list) on
     one block and return found satellites sorted by correlation strength,
     as (norm_max, prn, freq, delay) tuples — the shape the reference's
     channel-selection policy consumes (gpsrecv.py:274, 423-440).
+    `dopplers` overrides the config's search bins (almanac warm start).
     """
     from gps_sdr_tpu.ops.tracking import to_f32_pairs
 
     prns = list(cfg.prns if prns is None else prns)
+    if dopplers is None:
+        dopplers = cfg.doppler_bins
     if isinstance(block, np.ndarray) and block.dtype != np.float32:
         block = to_f32_pairs(block)
     res = acquire(cfg, jnp.asarray(block),
-                  jnp.asarray(cfg.doppler_bins, dtype=np.float32),
+                  jnp.asarray(dopplers, dtype=np.float32),
                   jnp.asarray(to_f32_pairs(code_fft_table[np.asarray(prns)])))
     found = np.asarray(res.found) > 0.5
     norm = np.asarray(res.norm_max)

@@ -151,6 +151,9 @@ class Evaluator:
                                      # (sample-clock skew) when
                                      # cfg.solve_clock_rate; fed by a
                                      # per-chunk free-rate side solve
+    iono_params: dict | None = None  # decoded SF4 page-18 coefficients
+                                     # {"alpha": (4,), "beta": (4,)}
+    almanacs: dict = field(default_factory=dict)   # prn -> almanac page
     # per-epoch status for reporting
     err_msgs: dict = field(default_factory=dict)
     sweep_flags: dict = field(default_factory=dict)
@@ -204,6 +207,20 @@ class Evaluator:
             if "ID" in sf:
                 eng.read_frame(sf)
 
+        for sf in frames:
+            # subframe-4/5 page payloads (models/navmsg.py): iono/UTC
+            # coefficients and almanac pages are per-constellation, not
+            # per-satellite — collected once, whichever channel decodes
+            # them first
+            if "alpha0" in sf:
+                self.iono_params = {
+                    "alpha": tuple(sf[f"alpha{i}"] for i in range(4)),
+                    "beta": tuple(sf[f"beta{i}"] for i in range(4))}
+            if "almE" in sf and 1 <= sf.get("svID", 0) <= 32:
+                from gps_sdr_tpu.models.almanac import ALM_KEYS
+                self.almanacs[int(sf["svID"])] = {k: sf[k]
+                                                  for k in ALM_KEYS}
+
         active = set()
         deferred = []
         for sat_no, lst in cpl.items():
@@ -223,6 +240,42 @@ class Evaluator:
             gps_time = gps_datetime(tow, week) + datetime.timedelta(
                 seconds=cyc * self.cfg.n_cyc / 1000)
         return sat_res, active, gps_time
+
+    # -- atmospheric pseudorange corrections (no reference equivalent) --
+
+    def _atmos_correct(self, sat_res) -> None:
+        """Subtract modeled ionospheric/tropospheric group delays from
+        the measured receive timestamps, in place.
+
+        Line-of-sight geometry comes from the current position estimate
+        (warm_start; meter-class errors there move the elevation by
+        micro-degrees — irrelevant).  The Klobuchar correction engages
+        once a subframe-4 page 18 has been decoded; the troposphere
+        needs no broadcast data.  Both delays are common-mode to first
+        order (absorbed by the clock unknown) — what this removes is
+        the DIFFERENTIAL part, the elevation-dependent meters that bias
+        the fix systematically (the reference's 'rare systematic
+        deviation >20 m', README.md:26)."""
+        cfg = self.cfg
+        if not len(sat_res) or self.warm_start is None:
+            return
+        from gps_sdr_tpu.models.atmosphere import (azim_elev_batch,
+                                                   klobuchar_delay,
+                                                   tropo_delay)
+        from gps_sdr_tpu.utils.geodesy import ecef_to_geo
+        rec = np.asarray(self.warm_start[1:4], np.float64)
+        el, az = azim_elev_batch(rec, sat_res.pos)
+        lat, lon, h = ecef_to_geo(rec)
+        corr = np.zeros(len(sat_res), np.float64)
+        if cfg.tropo_corr:
+            corr += tropo_delay(el, h)
+        if cfg.iono_corr and self.iono_params is not None:
+            t_sec = (sat_res.tow - 1) * 6.0 \
+                + sat_res.cyc * (cfg.n_cyc / 1000.0)
+            corr += klobuchar_delay(
+                self.iono_params["alpha"], self.iono_params["beta"],
+                np.deg2rad(lat), np.deg2rad(lon), el, az, t_sec)
+        sat_res.t -= corr
 
     # -- epoch grouping + fix (ecefPositions, gpseval.py:235-317) --
 
@@ -411,6 +464,15 @@ class Evaluator:
         cpl = self._prep_code_phases(epoch.code_phases)
         sat_res, active, gps_time = self._eval_sats(
             epoch.frames, cpl, epoch.carrier_freqs)
+        if self.cfg.iono_corr or self.cfg.tropo_corr:
+            if self.warm_start is None and len(sat_res):
+                # bootstrap: one discarded uncorrected solve seeds the
+                # position the elevation/azimuth geometry needs, so
+                # even the first reported fixes are corrected
+                n0 = len(self.sat_results)
+                self._fix_epochs(sat_res)
+                del self.sat_results[n0:]
+            self._atmos_correct(sat_res)
         sat_pos_list, rec_pos, fails = self._fix_epochs(sat_res)
         if self.cfg.solve_clock_rate:
             self._update_clock_rate(epoch.frames, sat_res)

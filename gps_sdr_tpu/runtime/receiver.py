@@ -73,10 +73,29 @@ class Receiver:
         self.status = ReceiverStatus()
         self.corr_quality: dict = {}       # prn -> (corr_q, corr_l)
         self.found_sats: list = []
+        self.warm_hints: tuple | None = None   # (prns, doppler_bins)
 
     # -- control surface (replaces UDP command channel, gpsrecv.py:521-536)
     def request_sweep(self) -> None:
         self.sweep_all = True
+
+    def warm_start(self, almanacs: dict, rec_ecef, tow: int) -> bool:
+        """Arm the next cold-start sweep with an almanac prediction
+        (models/almanac.py): only the predicted-visible PRNs are
+        searched, over a Doppler grid shrunk to the predicted span.
+        No reference equivalent — it decodes no subframe-4/5 pages and
+        always sweeps all 31 PRNs over the full band.  Falls back to
+        the full grid automatically if the warm sweep finds too few
+        satellites.  Returns True if the hint was armed."""
+        from gps_sdr_tpu.models.almanac import acquisition_hints
+
+        prns, bins = acquisition_hints(
+            almanacs, rec_ecef, tow, step_freq=self.cfg.step_freq,
+            max_prns=max(self.cfg.max_sat + 4, 12))
+        if prns is None:
+            return False
+        self.warm_hints = (prns, bins)
+        return True
 
     def stop(self) -> None:
         self._stop = True
@@ -105,8 +124,16 @@ class Receiver:
     def _serve_sweep_all(self, block: np.ndarray) -> None:
         """Cold start / global re-sweep: one-shot full-grid acquisition and
         channel-set update (replaces the staged sweepAllSats + pool
-        add/remove, gpsrecv.py:473-490)."""
-        self.found_sats = acquire_all(self.cfg, block, self._ffts_tab)
+        add/remove, gpsrecv.py:473-490).  An armed almanac warm hint
+        (warm_start) shrinks the first sweep's grid; if it under-
+        delivers, the full grid runs as the fallback."""
+        hints, self.warm_hints = self.warm_hints, None
+        self.found_sats = []
+        if hints is not None:
+            self.found_sats = acquire_all(self.cfg, block, self._ffts_tab,
+                                          prns=hints[0], dopplers=hints[1])
+        if len(self.found_sats) < self.cfg.min_sat:
+            self.found_sats = acquire_all(self.cfg, block, self._ffts_tab)
         del_set, new_set = select_sats(self.slots.active, self.found_sats,
                                        self.corr_quality, self.cfg.max_sat)
         for prn in del_set:

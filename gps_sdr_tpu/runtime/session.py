@@ -26,6 +26,7 @@ from gps_sdr_tpu.utils import io
 class Session:
     cfg: ReceiverConfig
     ephem_cache_path: str | None = None
+    almanac_cache_path: str | None = None
     record_epochs_to: str | None = None
     reporter: object | None = None
 
@@ -38,8 +39,12 @@ class Session:
         preloaded = {}
         if self.ephem_cache_path:
             preloaded = io.load_ephemerides(self.ephem_cache_path)
+        almanacs, iono = {}, None
+        if self.almanac_cache_path:
+            almanacs, iono = io.load_almanac(self.almanac_cache_path)
         self.receiver = Receiver(self.cfg)
-        self.evaluator = Evaluator(self.cfg, preloaded_ephem=preloaded)
+        self.evaluator = Evaluator(self.cfg, preloaded_ephem=preloaded,
+                                   iono_params=iono, almanacs=almanacs)
 
     def run_source(self, block_iter, skip_iter=None,
                    max_wall_sec: float | None = None) -> dict:
@@ -194,6 +199,9 @@ class Session:
                                 self.final_summary()["ephemerides"])
         if self.record_epochs_to:
             io.save_epoch_records(self.record_epochs_to, self.records)
+        if self.almanac_cache_path and (ev.almanacs or ev.iono_params):
+            io.save_almanac(self.almanac_cache_path, ev.almanacs,
+                            iono_params=ev.iono_params)
         if save_track and ev.positions:
             from gps_sdr_tpu.utils.geodesy import ecef_to_geo
             track = [ecef_to_geo(p[1:]) for p in ev.positions]

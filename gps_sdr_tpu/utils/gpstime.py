@@ -29,6 +29,20 @@ def gps_time_str(tow: int, week_num: int, time_only: bool = False) -> str:
     return d.strftime(fmt)
 
 
+def gps_week_tow(dt: datetime.datetime | None = None) -> tuple[int, int]:
+    """(week_num, tow) of a UTC datetime (default: now) — the inverse
+    of gps_datetime, for almanac warm starts from wall-clock time.
+    week_num is the 10-bit broadcast value (rollover era removed)."""
+    if dt is None:
+        dt = datetime.datetime.now(datetime.timezone.utc)
+    if dt.tzinfo is not None:
+        dt = dt.replace(tzinfo=None)
+    sec = (dt - GPS_EPOCH).total_seconds() + LEAPSEC
+    week = int(sec // 604800)
+    tow = int((sec - week * 604800) // 6) + 1
+    return week - ROLLOVER * 1024, tow
+
+
 def posix_from_gps_abs(gps_abs_sec: float) -> float:
     """POSIX timestamp from seconds-since-GPS-epoch (UTC leap-corrected)."""
     return (GPS_EPOCH - datetime.datetime(1970, 1, 1)).total_seconds() \

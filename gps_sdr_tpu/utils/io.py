@@ -20,6 +20,9 @@ from xml.sax.saxutils import escape
 import numpy as np
 
 EPHEM_VALID_SEC = 2 * 3600
+# an almanac stays useful for weeks (it only has to predict visibility
+# and Doppler to a sweep bin or two — models/almanac.py)
+ALMANAC_VALID_SEC = 45 * 86400
 
 
 class NumpyJSONEncoder(json.JSONEncoder):
@@ -59,6 +62,28 @@ def load_ephemerides(path: str, max_age_sec: int = EPHEM_VALID_SEC) -> dict:
         return {}
     return {int(k): v for k, v in doc.items()
             if k not in ("POSIX-Time", "UTC-Time")}
+
+
+def save_almanac(path: str, almanacs: dict,
+                 iono_params: dict | None = None) -> None:
+    """{prn: almanac fields} (+ optional page-18 iono coefficients
+    under the reserved key 0) -> JSON, same stamped format as the
+    ephemeris cache.  No reference equivalent — it decodes no SF4/5."""
+    doc = dict(almanacs)
+    if iono_params is not None:
+        doc[0] = iono_params          # PRN 0 never broadcasts
+    save_ephemerides(path, doc)
+
+
+def load_almanac(path: str, max_age_sec: int = ALMANAC_VALID_SEC
+                 ) -> tuple[dict, dict | None]:
+    """-> (almanacs, iono_params or None); empties if missing/stale."""
+    doc = load_ephemerides(path, max_age_sec)
+    iono = doc.pop(0, None)
+    if iono is not None:
+        iono = {"alpha": tuple(iono["alpha"]),
+                "beta": tuple(iono["beta"])}
+    return doc, iono
 
 
 def save_results(prefix: str, frames=None, sat_results=None,
