@@ -155,6 +155,19 @@ class Scenario:
     iono_alpha: tuple | None = None
     iono_beta: tuple | None = None
     model_tropo: bool = False
+    # Receiver motion: constant ECEF velocity [m/s]; rec_ecef is the
+    # position at receiver time 0 (sample 0).  The reference's track
+    # plot displays motion but its only test input is a static rooftop
+    # capture — a moving closed loop is new capability.
+    rec_vel: np.ndarray | None = None
+
+    def rec_at(self, t):
+        """Receiver ECEF position at GPS time(s) t: [..., 3]."""
+        if self.rec_vel is None:
+            return np.broadcast_to(self.rec_ecef,
+                                   np.shape(t) + (3,))
+        dt = np.asarray(t, np.float64) - self.t_rx0
+        return self.rec_ecef + dt[..., None] * self.rec_vel
 
     def clock_err(self, dt):
         """Accumulated receiver-clock error [s] at nominal receiver
@@ -167,6 +180,7 @@ class Scenario:
         Sagnac rotation and SV clock offset applied."""
         tow_ref = self.tow0
         t_rel = t - orbits.tsv_of_tow(tow_ref)
+        rec = np.moveaxis(self.rec_at(t), -1, 0)        # [3, ...]
         tau = np.full_like(t, 0.07)
         for _ in range(3):
             x, y, z, dtsv = orbits.ecef_coord(tow_ref, sat.eph,
@@ -175,9 +189,9 @@ class Scenario:
             c, s = np.cos(ang), np.sin(ang)
             xr = c * x + s * y
             yr = -s * x + c * y
-            rng = np.sqrt((xr - self.rec_ecef[0]) ** 2
-                          + (yr - self.rec_ecef[1]) ** 2
-                          + (z - self.rec_ecef[2]) ** 2)
+            rng = np.sqrt((xr - rec[0]) ** 2
+                          + (yr - rec[1]) ** 2
+                          + (z - rec[2]) ** 2)
             tau = rng / GPS_C
         if self.iono_alpha is not None or self.model_tropo:
             # atmospheric group delay along the line of sight; applied
@@ -232,7 +246,8 @@ def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
                   seed: int = 0, osc_ppm: float = 0.0,
                   osc_ppm_rate: float = 0.0,
                   iono: bool | tuple = False, tropo: bool = False,
-                  broadcast_almanac: bool = False) -> Scenario:
+                  broadcast_almanac: bool = False,
+                  rec_vel_enu: tuple | None = None) -> Scenario:
     """Build a scenario: receiver at `rec_geo` (default: the reference's
     golden-fix coordinates, README.md:185), `n_sats` visible satellites
     with randomized ephemerides, nav streams covering `duration_sec`.
@@ -243,7 +258,9 @@ def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
     custom (alpha, beta) tuple) and broadcasts the coefficients in
     subframe 4 page 18; tropo=True injects tropospheric delays;
     broadcast_almanac=True cycles every satellite's almanac page through
-    the subframe-5 slots (for warm-start acquisition tests)."""
+    the subframe-5 slots (for warm-start acquisition tests).
+    rec_vel_enu=(east, north, up) m/s moves the receiver at constant
+    velocity (rec_geo is the position at sample 0)."""
     rng = np.random.default_rng(seed)
     rec_ecef = np.array(geo_to_ecef(*rec_geo))
     t_rx0 = orbits.tsv_of_tow(tow0) + rx_start_offset
@@ -284,11 +301,15 @@ def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
 
     for sat in sats:
         sat.build_nav_stream(tow0, n_subframes, page_fields)
+    rec_vel = None
+    if rec_vel_enu is not None:
+        from gps_sdr_tpu.utils.geodesy import enu_to_ecef_vec
+        rec_vel = enu_to_ecef_vec(rec_geo[0], rec_geo[1], rec_vel_enu)
     return Scenario(cfg=cfg, rec_geo=rec_geo, rec_ecef=rec_ecef, week=week,
                     tow0=tow0, t_rx0=t_rx0, sats=sats,
                     osc_ppm=osc_ppm, osc_ppm_rate=osc_ppm_rate,
                     iono_alpha=iono_alpha, iono_beta=iono_beta,
-                    model_tropo=tropo)
+                    model_tropo=tropo, rec_vel=rec_vel)
 
 
 def synth_scenario_blocks(scn: Scenario, first_block: int, n_blocks: int,

@@ -173,6 +173,59 @@ def solve_fix(sat_pos: np.ndarray, time_delay: np.ndarray,
                      clock_rate=y_total)
 
 
+class VelocityResult(NamedTuple):
+    vel: np.ndarray         # [3] receiver ECEF velocity, m/s
+    clock_drift: float      # fractional receiver-clock rate error y
+    residual: float         # RMS Doppler residual, Hz
+    n_sat: int
+
+
+def solve_velocity(sat_pos: np.ndarray, sat_vel: np.ndarray,
+                   rec_pos: np.ndarray, freqs: np.ndarray,
+                   l1_freq: float, std_dev: np.ndarray | None = None
+                   ) -> VelocityResult | None:
+    """Receiver velocity + clock drift from tracked carrier Dopplers.
+
+    No reference equivalent: the reference tracks each carrier (FRQ in
+    its per-second report) but never solves velocity.  The measurement
+    model per satellite (the tracker's sign convention, see
+    runtime/evaluator.py _update_clock_rate):
+
+        f_i = -(L1/c) * (v_sat_i - v_rec) . los_i  -  y * L1
+
+    with los_i the receiver->satellite unit vector and y the fractional
+    receiver-clock rate error (one oscillator drives LO and ADC).
+    Linear in (v_rec, y) — one weighted least-squares solve, no
+    iteration.  Needs n >= 4.
+
+    sat_pos/sat_vel: float64[3, n] ECEF at the epoch (velocity by
+    central difference of the same ecef_coord the pseudoranges use, so
+    the earth-rotation convention cancels); rec_pos: [3]; freqs: [n]
+    tracked carrier offsets in Hz.
+    """
+    sat_pos = np.asarray(sat_pos, np.float64)
+    n = sat_pos.shape[1]
+    if n < 4:
+        return None
+    sat_vel = np.asarray(sat_vel, np.float64)
+    rec = np.asarray(rec_pos, np.float64)
+    d = sat_pos - rec[:, None]
+    los = d / np.linalg.norm(d, axis=0)                  # [3, n]
+    k = l1_freq / GPS_C
+    a = np.empty((n, 4))
+    a[:, :3] = k * los.T
+    a[:, 3] = -l1_freq
+    b = np.asarray(freqs, np.float64) + k * np.sum(sat_vel * los, axis=0)
+    if std_dev is not None:
+        w = 1.0 / np.maximum(np.asarray(std_dev, np.float64), 1e-6)
+        a = a * w[:, None]
+        b = b * w
+    sol, *_ = np.linalg.lstsq(a, b, rcond=None)
+    resid = float(np.sqrt(np.mean((a @ sol - b) ** 2)))
+    return VelocityResult(vel=sol[:3], clock_drift=float(sol[3]),
+                          residual=resid, n_sat=n)
+
+
 def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
                     std_dev: np.ndarray | None = None,
                     rec_pos0: np.ndarray | None = None,

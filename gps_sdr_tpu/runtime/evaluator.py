@@ -25,7 +25,8 @@ from gps_sdr_tpu.models import orbits
 from gps_sdr_tpu.models.ephemeris import SatStatus
 from gps_sdr_tpu.models.pseudorange import (PseudorangeEngine,
                                             finish_deferred)
-from gps_sdr_tpu.ops.pvt import FixResult, solve_fix, solve_fix_batch
+from gps_sdr_tpu.ops.pvt import (FixResult, solve_fix, solve_fix_batch,
+                                 solve_velocity)
 from gps_sdr_tpu.utils.gpstime import gps_datetime
 
 
@@ -154,6 +155,10 @@ class Evaluator:
     iono_params: dict | None = None  # decoded SF4 page-18 coefficients
                                      # {"alpha": (4,), "beta": (4,)}
     almanacs: dict = field(default_factory=dict)   # prn -> almanac page
+    velocities: list = field(default_factory=list)
+    # [[posix_t, vx, vy, vz], ...] ECEF m/s, one Doppler velocity solve
+    # per reporting interval (ops/pvt.py solve_velocity)
+    vel_result: object | None = None  # latest VelocityResult
     # per-epoch status for reporting
     err_msgs: dict = field(default_factory=dict)
     sweep_flags: dict = field(default_factory=dict)
@@ -456,6 +461,49 @@ class Evaluator:
             a = 0.3 if self.clock_rate_est != 0.0 else 1.0
             self.clock_rate_est += a * (y_obs - self.clock_rate_est)
 
+    # -- Doppler velocity (no reference equivalent) --
+
+    def _solve_velocity(self, frames: list, sat_res) -> None:
+        """One receiver-velocity + clock-drift solve per reporting
+        interval from the channels' tracked carrier frequencies (the
+        FRQ the reference reports once per second but never uses,
+        gpslib.py:1124-1131).  Satellite velocities come from a central
+        difference of the same ecef_coord the pseudoranges use, so the
+        earth-rotation convention cancels in the measurement model."""
+        if self.warm_start is None or not len(sat_res):
+            return
+        rec = np.asarray(self.warm_start[1:4], np.float64)
+        i = int(np.lexsort((sat_res.cyc, sat_res.tow))[-1])
+        tow, cyc = int(sat_res.tow[i]), int(sat_res.cyc[i])
+        week = int(sat_res.week[i])
+        dt = cyc * self.cfg.n_cyc / 1000.0
+        freq = {sf["SAT"]: sf["FRQ"] for sf in frames
+                if sf.get("SAT") is not None and "FRQ" in sf}
+        rows = [(f, self.engines[s].ephem) for s, f in freq.items()
+                if s in self.engines and self.engines[s].ephem_ok]
+        if len(rows) < 4:
+            return
+        fqs = np.array([r[0] for r in rows], np.float64)
+        # batched orbit propagation at dt -/+ 0.5 s across satellites
+        keys = [k for k, v in rows[0][1].items()
+                if isinstance(v, (int, float, np.floating))]
+        vals = np.array([[r[1][k] for k in keys] for r in rows],
+                        np.float64)
+        eph = {k: np.tile(vals[:, j], 2) for j, k in enumerate(keys)}
+        n = len(rows)
+        dts = np.concatenate([np.full(n, dt - 0.5), np.full(n, dt + 0.5)])
+        x, y, z, _ = orbits.ecef_coord(float(tow), eph, dt_from_tow=dts)
+        p = np.stack([x, y, z])                     # [3, 2n]
+        sat_pos = 0.5 * (p[:, :n] + p[:, n:])
+        sat_vel = p[:, n:] - p[:, :n]
+        res = solve_velocity(sat_pos, sat_vel, rec, fqs, L1_FREQ)
+        if res is None:
+            return
+        self.vel_result = res
+        t = gps_datetime(tow, week).timestamp() \
+            + cyc * self.cfg.n_cyc / 1000.0
+        self.velocities.append([t, *map(float, res.vel)])
+
     # -- public entry --
 
     def process(self, epoch: EpochInput) -> dict:
@@ -476,6 +524,7 @@ class Evaluator:
         sat_pos_list, rec_pos, fails = self._fix_epochs(sat_res)
         if self.cfg.solve_clock_rate:
             self._update_clock_rate(epoch.frames, sat_res)
+        self._solve_velocity(epoch.frames, sat_res)
         self.fix_failures += fails
         # outlier statistics run once per reporting interval even when
         # the input is a merged multi-chunk window: the speed-allowance
@@ -503,4 +552,5 @@ class Evaluator:
             "skipped_blocks": self.skipped_blocks,
             "n_outliers": len(self.outliers),
             "n_phase_errors": self.n_phase_errors,
+            "velocity": self.vel_result,
         }

@@ -73,6 +73,19 @@ def ecef_to_azim_elev(obs_xyz, sat_xyz):
     return elev, azim
 
 
+def enu_to_ecef_vec(lat_deg, lon_deg, enu):
+    """Rotate a local east/north/up vector at (lat, lon) into ECEF
+    (velocities, baselines — anything translation-free)."""
+    lat = np.asarray(lat_deg, np.float64) * _D2R
+    lon = np.asarray(lon_deg, np.float64) * _D2R
+    sl, cl = np.sin(lat), np.cos(lat)
+    so, co = np.sin(lon), np.cos(lon)
+    e, n, u = (np.asarray(v, np.float64) for v in enu)
+    return np.array([-so * e - sl * co * n + cl * co * u,
+                     co * e - sl * so * n + cl * so * u,
+                     cl * n + sl * u])
+
+
 def local_offsets_m(geo_home, geo_pos):
     """(east_m, north_m) offset of geo_pos from geo_home (small
     distances); the track-plot projection (gpslib.py:1932-1942)."""
