@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import sys
 
+import numpy as np
+
 from gps_sdr_tpu.utils.geodesy import ecef_to_geo
 
 
@@ -55,6 +57,12 @@ class HeadlessReporter:
             p(f"mean ECEF ({mean[0]:.1f}, {mean[1]:.1f}, {mean[2]:.1f}) m"
               f"  sd ({dev[0]:.1f}, {dev[1]:.1f}, {dev[2]:.1f}) m  n={n}\n")
             p(f"geo  {lat:.6f} deg, {lon:.6f} deg, {alt:.1f} m\n")
+        vel = summary.get("velocity")
+        if vel is not None:
+            p(f"vel  {np.linalg.norm(vel.vel):5.2f} m/s "
+              f"ECEF ({vel.vel[0]:+.2f}, {vel.vel[1]:+.2f}, "
+              f"{vel.vel[2]:+.2f})  drift {vel.clock_drift * 1e6:+.3f} "
+              f"ppm\n")
         p(f"errors: skip={summary.get('skipped_blocks', 0)}"
           f" outliers={summary.get('n_outliers', 0)}"
           f" lsf_fail={summary.get('n_fails', 0)}"

@@ -263,6 +263,13 @@ class PlotUI:
                 f"geodetic   {lat:.6f} deg  {lon:.6f} deg  {alt:.1f} m",
                 "",
             ]
+        vel = summary.get("velocity")
+        if vel is not None:
+            lines += [
+                f"speed      {float(np.linalg.norm(vel.vel)):5.2f} m/s"
+                f"   clock drift {vel.clock_drift * 1e6:+.3f} ppm",
+                "",
+            ]
         lines += [
             f"skipped blocks : {summary.get('skipped_blocks', 0)}",
             f"outliers       : {summary.get('n_outliers', 0)}",
