@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--tropo-corr", action="store_true",
                        help="correct pseudoranges with the "
                             "Saastamoinen troposphere model")
+        p.add_argument("--track-filter", type=float, default=0.0,
+                       metavar="Q",
+                       help="enable the position/velocity Kalman track "
+                            "filter with white-acceleration process "
+                            "noise Q m/s^2 (~0.5 walking, ~3 driving)")
 
     p = sub.add_parser("replay", help="replay a recorded IQ capture")
     p.add_argument("path")
@@ -140,6 +145,8 @@ def make_config(args) -> ReceiverConfig:
         kw.update(iono_corr=True)
     if getattr(args, "tropo_corr", False):
         kw.update(tropo_corr=True)
+    if getattr(args, "track_filter", 0.0):
+        kw.update(track_filter_q=args.track_filter)
     return ReceiverConfig(**kw)
 
 

@@ -110,6 +110,15 @@ class ReceiverConfig:
     tropo_corr: bool = False        # correct pseudoranges with the
                                     # Saastamoinen troposphere model
                                     # (needs no broadcast data)
+    track_filter_q: float = 0.0     # > 0 enables the position/velocity
+                                    # Kalman track filter with this
+                                    # white-acceleration process noise
+                                    # [m/s^2] (runtime/trackfilter.py):
+                                    # fuses GN fixes (measured (J'WJ)^-1
+                                    # covariance) with the Doppler
+                                    # velocity solves.  ~0.5 walking,
+                                    # ~3 driving; the reference only
+                                    # has a running mean (static-only)
 
     # -- front end --
     sample_rate_factor: int = 1000  # sample_rate = 1000 * code_samples

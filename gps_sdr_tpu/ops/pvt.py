@@ -37,6 +37,10 @@ class FixResult(NamedTuple):
     clock_rate: float = 0.0  # total fractional receiver-clock rate
                              # error applied/solved (clock_rate_fix +
                              # the free unknown when clock_rate=True)
+    cov: np.ndarray | None = None
+    # [4, 4] parameter covariance (J' W J)^-1 in m^2 — exact when the
+    # per-satellite sigmas are calibrated (they are: cophStd in
+    # meters); feeds the track filter's measurement noise
 
 
 def _sagnac(rec_pos: np.ndarray, range_est: np.ndarray) -> np.ndarray:
@@ -167,10 +171,14 @@ def solve_fix(sat_pos: np.ndarray, time_delay: np.ndarray,
 
     cdt_eff = cdt * (1.0 - pos[4]) if use_rate else cdt
     y_total = clock_rate_fix + (float(pos[4]) if use_rate else 0.0)
+    try:
+        cov = np.linalg.inv(jtj)[:4, :4]
+    except np.linalg.LinAlgError:
+        cov = None
     return FixResult(rec_pos=pos[:4], residual=residual,
                      range_est=range_est,
                      meas_delay=cdt_eff + pos[0], n_iter=it,
-                     clock_rate=y_total)
+                     clock_rate=y_total, cov=cov)
 
 
 class VelocityResult(NamedTuple):
@@ -178,6 +186,9 @@ class VelocityResult(NamedTuple):
     clock_drift: float      # fractional receiver-clock rate error y
     residual: float         # RMS Doppler residual, Hz
     n_sat: int
+    cov: np.ndarray | None = None
+    # [3, 3] velocity covariance (m/s)^2: (A'A)^-1 scaled by the
+    # residual variance (floored at a 0.1 Hz tracked-Doppler sigma)
 
 
 def solve_velocity(sat_pos: np.ndarray, sat_vel: np.ndarray,
@@ -222,8 +233,14 @@ def solve_velocity(sat_pos: np.ndarray, sat_vel: np.ndarray,
         b = b * w
     sol, *_ = np.linalg.lstsq(a, b, rcond=None)
     resid = float(np.sqrt(np.mean((a @ sol - b) ** 2)))
+    try:
+        cov_u = np.linalg.inv(a.T @ a)
+        var = max(resid * resid * n / max(n - 4, 1), 0.1 ** 2)
+        cov = cov_u[:3, :3] * var
+    except np.linalg.LinAlgError:
+        cov = None
     return VelocityResult(vel=sol[:3], clock_drift=float(sol[3]),
-                          residual=resid, n_sat=n)
+                          residual=resid, n_sat=n, cov=cov)
 
 
 def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
@@ -327,10 +344,15 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
         n_iter += act
 
     cdt_eff = cdt * (1.0 - pos[:, 4:5]) if use_rate else cdt
+    try:
+        covs = np.linalg.inv(jtj)[:, :4, :4]
+    except np.linalg.LinAlgError:
+        covs = [None] * E
     return [FixResult(rec_pos=pos[i, :4], residual=float(residual[i]),
                       range_est=range_est[i],
                       meas_delay=cdt_eff[i] + pos[i, 0],
                       n_iter=int(n_iter[i]),
                       clock_rate=clock_rate_fix
-                      + (float(pos[i, 4]) if use_rate else 0.0))
+                      + (float(pos[i, 4]) if use_rate else 0.0),
+                      cov=covs[i])
             for i in range(E)]

@@ -159,6 +159,10 @@ class Evaluator:
     # [[posix_t, vx, vy, vz], ...] ECEF m/s, one Doppler velocity solve
     # per reporting interval (ops/pvt.py solve_velocity)
     vel_result: object | None = None  # latest VelocityResult
+    tfilter: object | None = None     # TrackFilter when
+                                      # cfg.track_filter_q > 0
+    filtered: list = field(default_factory=list)
+    # [[posix_t, x, y, z, vx, vy, vz], ...] filtered track states
     # per-epoch status for reporting
     err_msgs: dict = field(default_factory=dict)
     sweep_flags: dict = field(default_factory=dict)
@@ -382,6 +386,21 @@ class Evaluator:
                 entry = fix.rec_pos.copy()
                 entry[0] = base + cy * cfg.n_cyc / 1000
                 rec_pos.append(entry)
+                if self.tfilter is not None:
+                    # carrier smoothing correlates fix noise over its
+                    # ~N-block EMA window while (J'WJ)^-1 prices each
+                    # fix as independent; inflating R by N keeps the
+                    # filter's information intake at the true rate
+                    # (and the innovation gate honest)
+                    r = None
+                    if fix.cov is not None:
+                        r = fix.cov[1:, 1:] * max(
+                            1, cfg.carrier_smoothing)
+                    if self.tfilter.update_pos(
+                            entry[0], fix.rec_pos[1:].copy(), r):
+                        self.filtered.append(
+                            [entry[0], *map(float, self.tfilter.pos),
+                             *map(float, self.tfilter.vel)])
                 self.warm_start = np.concatenate(
                     [[0.0], fix.rec_pos[1:]])
                 ne = int(gc[e])
@@ -503,11 +522,16 @@ class Evaluator:
         t = gps_datetime(tow, week).timestamp() \
             + cyc * self.cfg.n_cyc / 1000.0
         self.velocities.append([t, *map(float, res.vel)])
+        if self.tfilter is not None:
+            self.tfilter.update_vel(t, res.vel, res.cov)
 
     # -- public entry --
 
     def process(self, epoch: EpochInput) -> dict:
         """Consume one reporting interval; returns a summary dict."""
+        if self.cfg.track_filter_q > 0 and self.tfilter is None:
+            from gps_sdr_tpu.runtime.trackfilter import TrackFilter
+            self.tfilter = TrackFilter(q_accel=self.cfg.track_filter_q)
         self.skipped_blocks += epoch.skipped_samples // self.cfg.ngps
         cpl = self._prep_code_phases(epoch.code_phases)
         sat_res, active, gps_time = self._eval_sats(
@@ -553,4 +577,5 @@ class Evaluator:
             "n_outliers": len(self.outliers),
             "n_phase_errors": self.n_phase_errors,
             "velocity": self.vel_result,
+            "filtered_pos": self.filtered[-1] if self.filtered else None,
         }
