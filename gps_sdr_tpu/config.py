@@ -110,6 +110,23 @@ class ReceiverConfig:
     tropo_corr: bool = False        # correct pseudoranges with the
                                     # Saastamoinen troposphere model
                                     # (needs no broadcast data)
+    raim: bool = False              # RAIM fault detection & exclusion:
+                                    # chi-square test on the weighted
+                                    # fix residuals; on failure, the
+                                    # satellite whose exclusion repairs
+                                    # the fix is barred for
+                                    # raim_exclude_sec.  The reference
+                                    # only gates whole fixes
+                                    # (MAX_RESIDUAL) — it cannot name
+                                    # or remove a faulty satellite
+    raim_threshold: float = 10.0    # normalized SSE/dof trip level
+    raim_exclude_sec: float = 60.0  # exclusion duration
+    raim_sigma_floor: float = 2.0   # m; floor on the per-satellite
+                                    # sigma in the RAIM statistic —
+                                    # carrier-smoothed sigmas reach
+                                    # ~5 cm and would read benign
+                                    # systematics (filter convergence,
+                                    # quantization, ~1-2 m) as faults
     track_filter_q: float = 0.0     # > 0 enables the position/velocity
                                     # Kalman track filter with this
                                     # white-acceleration process noise

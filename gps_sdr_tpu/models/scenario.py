@@ -97,6 +97,11 @@ class SatScenario:
     nav_stream: np.ndarray = None   # +-1 bits, bit b spans sat time
     #                                 [20ms*(b + bit0), ...)
     bit0: int = 0                   # global bit index of nav_stream[0]
+    fault_dtsv: float = 0.0         # SV-clock fault [s]: shifts the
+    #                                 code/data timing WITHOUT touching
+    #                                 the broadcast clock model — the
+    #                                 classic integrity fault RAIM must
+    #                                 catch (1 us = ~300 m of range)
 
     def build_nav_stream(self, tow_first: int, n_subframes: int,
                          page_fields=None):
@@ -216,7 +221,7 @@ class Scenario:
                     np.mod(t, 7 * 86400.0))
             if self.model_tropo:
                 tau = tau + tropo_delay(el, self.rec_geo[2])
-        tau_sv = t - tau + dtsv
+        tau_sv = t - tau + dtsv + sat.fault_dtsv
         return tau, tau_sv
 
 

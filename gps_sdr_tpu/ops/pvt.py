@@ -41,6 +41,10 @@ class FixResult(NamedTuple):
     # [4, 4] parameter covariance (J' W J)^-1 in m^2 — exact when the
     # per-satellite sigmas are calibrated (they are: cophStd in
     # meters); feeds the track filter's measurement noise
+    res_m: np.ndarray | None = None
+    # [n] per-satellite measurement residuals at convergence
+    # (range_est - c*t0 - c*(d_i - d_0)) in meters — the RAIM test
+    # statistic's raw material
 
 
 def _sagnac(rec_pos: np.ndarray, range_est: np.ndarray) -> np.ndarray:
@@ -178,7 +182,8 @@ def solve_fix(sat_pos: np.ndarray, time_delay: np.ndarray,
     return FixResult(rec_pos=pos[:4], residual=residual,
                      range_est=range_est,
                      meas_delay=cdt_eff + pos[0], n_iter=it,
-                     clock_rate=y_total, cov=cov)
+                     clock_rate=y_total, cov=cov,
+                     res_m=range_est - pos[0] - cdt_eff)
 
 
 class VelocityResult(NamedTuple):
@@ -354,5 +359,6 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
                       n_iter=int(n_iter[i]),
                       clock_rate=clock_rate_fix
                       + (float(pos[i, 4]) if use_rate else 0.0),
-                      cov=covs[i])
+                      cov=covs[i],
+                      res_m=range_est[i] - pos[i, 0] - cdt_eff[i])
             for i in range(E)]

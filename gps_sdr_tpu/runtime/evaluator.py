@@ -163,6 +163,10 @@ class Evaluator:
                                       # cfg.track_filter_q > 0
     filtered: list = field(default_factory=list)
     # [[posix_t, x, y, z, vx, vy, vz], ...] filtered track states
+    raim_excluded: dict = field(default_factory=dict)
+    # sat_no -> exclusion expiry [GPS seconds of week]
+    raim_events: list = field(default_factory=list)
+    # [(tow_sec, sat_no, sse_norm_before, sse_norm_after), ...]
     # per-epoch status for reporting
     err_msgs: dict = field(default_factory=dict)
     sweep_flags: dict = field(default_factory=dict)
@@ -480,6 +484,112 @@ class Evaluator:
             a = 0.3 if self.clock_rate_est != 0.0 else 1.0
             self.clock_rate_est += a * (y_obs - self.clock_rate_est)
 
+    # -- RAIM fault detection & exclusion (no reference equivalent) --
+
+    def _raim_drop_excluded(self, sat_res):
+        """Remove rows of currently-excluded satellites (exclusions
+        expire after cfg.raim_exclude_sec of GPS time)."""
+        if not self.raim_excluded or not len(sat_res):
+            return sat_res
+        tsec = (sat_res.tow - 1) * 6.0 \
+            + sat_res.cyc * (self.cfg.n_cyc / 1000.0)
+        self.raim_excluded = {
+            s: exp for s, exp in self.raim_excluded.items()
+            if exp > tsec.max()}
+        if not self.raim_excluded:
+            return sat_res
+        keep = ~np.isin(sat_res.sat_no,
+                        np.fromiter(self.raim_excluded, np.int64))
+        if keep.all():
+            return sat_res
+        from gps_sdr_tpu.models.pseudorange import SatRows
+        return SatRows(sat_no=sat_res.sat_no[keep],
+                       tow=sat_res.tow[keep], pos=sat_res.pos[keep],
+                       t=sat_res.t[keep], week=sat_res.week[keep],
+                       cyc=sat_res.cyc[keep],
+                       sigma=sat_res.sigma[keep])
+
+    def _raim_detect(self, sat_res) -> None:
+        """Chi-square fault detection BEFORE the reporting solve, on
+        one throwaway epoch solve per interval; on a trip with >= 6
+        satellites, exclusion search: re-solve leaving each satellite
+        out, and bar the one whose removal repairs the statistic.
+        Classic RAIM FDE — the reference can only reject whole fixes
+        (MAX_RESIDUAL, gpseval.py:298-315), so one faulty SV clock
+        silently biases every epoch it is in.
+
+        Test-epoch selection matters: chunk-tail epochs sit in a fresh
+        sigma segment and carry the 0.5-sample fallback sigma (73 m),
+        deflating the statistic ~300x — pick the epoch with the most
+        satellites among those with honest (fitted) sigmas."""
+        n_rows = len(sat_res)
+        if n_rows == 0:
+            return
+        order = np.lexsort((sat_res.sat_no, sat_res.cyc, sat_res.tow))
+        tow = sat_res.tow[order]
+        cyc = sat_res.cyc[order]
+        is_new = np.ones(n_rows, bool)
+        is_new[1:] = (tow[1:] != tow[:-1]) | (cyc[1:] != cyc[:-1])
+        starts = np.nonzero(is_new)[0]
+        counts = np.diff(np.append(starts, n_rows))
+        best_e, best_score = None, (-1, -1)
+        for e in range(len(starts)):
+            rows = order[starts[e]:starts[e] + counts[e]]
+            score = (int(sat_res.sigma[rows].max() < 50.0),
+                     int(counts[e]))
+            if score >= best_score:
+                best_score, best_e = score, e
+        rows = order[starts[best_e]:starts[best_e] + counts[best_e]]
+        n = len(rows)
+        if n < 6:                    # need redundancy to isolate
+            return
+        coords = sat_res.pos[rows].T
+        delays = sat_res.t[rows]
+        sig = sat_res.sigma[rows]
+        sats = sat_res.sat_no[rows]
+        kw = dict(max_it=self.cfg.lsf_max_it,
+                  max_residual=self.cfg.max_residual / 10,
+                  rec_pos0=self.warm_start)
+
+        sig_t = np.maximum(sig, self.cfg.raim_sigma_floor)
+
+        def sse_of(keep):
+            fx = solve_fix(coords[:, keep], delays[keep],
+                           std_dev=sig[keep], **kw)
+            w = fx.res_m / sig_t[keep]
+            return float(w @ w) / (keep.sum() - 4)
+
+        try:
+            sse0 = sse_of(np.ones(n, bool))
+        except Exception:
+            return
+        if sse0 <= self.cfg.raim_threshold:
+            return
+        best = None
+        for i in range(n):
+            keep = np.arange(n) != i
+            try:
+                sse = sse_of(keep)
+            except Exception:
+                continue
+            if best is None or sse < best[1]:
+                best = (i, sse)
+        # accept if the exclusion repairs the statistic outright OR
+        # drops it decisively (20x) — the absolute gate alone misses
+        # faults sitting on top of a high benign floor
+        if best is None or (best[1] > self.cfg.raim_threshold
+                            and best[1] > sse0 / 20.0):
+            return                    # no single exclusion repairs it
+        bad = int(sats[best[0]])
+        tsec = float((tow[starts[best_e]] - 1) * 6.0
+                     + cyc[starts[best_e]] * self.cfg.n_cyc / 1000.0)
+        self.raim_excluded[bad] = tsec + self.cfg.raim_exclude_sec
+        self.raim_events.append((tsec, bad, sse0, best[1]))
+        if bad in self.sat_log:
+            self.sat_log[bad].append(
+                f"RAIM: excluded (sse/dof {sse0:.1f} -> {best[1]:.1f})")
+        self.err_msgs[bad] = "RAIM"
+
     # -- Doppler velocity (no reference equivalent) --
 
     def _solve_velocity(self, frames: list, sat_res) -> None:
@@ -545,6 +655,13 @@ class Evaluator:
                 self._fix_epochs(sat_res)
                 del self.sat_results[n0:]
             self._atmos_correct(sat_res)
+        if self.cfg.raim:
+            # drop first: an already-excluded satellite must not
+            # re-trip detection (and pay the exclusion search) every
+            # interval of its exclusion window
+            sat_res = self._raim_drop_excluded(sat_res)
+            self._raim_detect(sat_res)
+            sat_res = self._raim_drop_excluded(sat_res)
         sat_pos_list, rec_pos, fails = self._fix_epochs(sat_res)
         if self.cfg.solve_clock_rate:
             self._update_clock_rate(epoch.frames, sat_res)
