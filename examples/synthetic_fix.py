@@ -69,6 +69,26 @@ def parse_args():
                     metavar="N",
                     help="Hatch-filter window in blocks (0 = off): "
                          "carrier-smoothed pseudoranges")
+    ap.add_argument("--iono", action="store_true",
+                    help="inject Klobuchar ionospheric delays (and "
+                         "broadcast the page-18 coefficients) AND "
+                         "enable the receiver's correction")
+    ap.add_argument("--tropo", action="store_true",
+                    help="inject tropospheric delays AND enable the "
+                         "receiver's Saastamoinen correction")
+    ap.add_argument("--moving", default=None, metavar="E,N",
+                    help="move the receiver at this constant east,"
+                         "north velocity [m/s]; reports the Doppler "
+                         "velocity solve and trajectory error")
+    ap.add_argument("--track-filter", type=float, default=0.0,
+                    metavar="Q",
+                    help="enable the position/velocity Kalman track "
+                         "filter (process noise Q m/s^2)")
+    ap.add_argument("--fault-us", type=float, default=0.0,
+                    metavar="US",
+                    help="inject an SV-clock fault of this many "
+                         "microseconds on one satellite (~300 m/us) "
+                         "and enable RAIM fault exclusion")
     ap.add_argument("--quiet", action="store_true",
                     help="suppress the per-second status table")
     return ap.parse_args()
@@ -89,7 +109,10 @@ def main():
     from gps_sdr_tpu.runtime.session import Session
     from gps_sdr_tpu.ui.headless import HeadlessReporter
 
-    cfg = ReceiverConfig(carrier_smoothing=args.carrier_smoothing)
+    cfg = ReceiverConfig(carrier_smoothing=args.carrier_smoothing,
+                         iono_corr=args.iono, tropo_corr=args.tropo,
+                         track_filter_q=args.track_filter,
+                         raim=args.fault_us != 0.0)
     if args.osc_ppm or args.osc_ppm_rate:
         # an uncorrected TCXO shifts every Doppler by ~ -ppm*1575.42 Hz
         # in common: widen the search band around the shifted center and
@@ -102,16 +125,32 @@ def main():
     n_blocks = int(round(args.sec / cfg.block_sec))
     print(f"synthesizing scenario: {args.sats} sats, {args.sec:.0f} s "
           f"({n_blocks} blocks), noise={args.noise}")
+    vel_enu = None
+    if args.moving:
+        e, n = (float(v) for v in args.moving.split(","))
+        vel_enu = (e, n, 0.0)
     scn = make_scenario(cfg, n_sats=args.sats, seed=args.seed,
                         duration_sec=args.sec + 12.0,
                         osc_ppm=args.osc_ppm,
-                        osc_ppm_rate=args.osc_ppm_rate)
+                        osc_ppm_rate=args.osc_ppm_rate,
+                        iono=args.iono, tropo=args.tropo,
+                        rec_vel_enu=vel_enu)
+    if args.fault_us:
+        scn.sats[1].fault_dtsv = args.fault_us * 1e-6
+        print(f"injected {args.fault_us} us SV-clock fault on "
+              f"PRN {scn.sats[1].prn}")
 
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".synth_cache")
     os.makedirs(cache_dir, exist_ok=True)
     osc_tag = (f"_{args.osc_ppm}_{args.osc_ppm_rate}"
                if (args.osc_ppm or args.osc_ppm_rate) else "")
+    if args.iono or args.tropo:
+        osc_tag += f"_atm{int(args.iono)}{int(args.tropo)}"
+    if vel_enu is not None:
+        osc_tag += f"_v{vel_enu[0]}_{vel_enu[1]}"
+    if args.fault_us:
+        osc_tag += f"_f{args.fault_us}"
     key = hashlib.sha1(
         f"scn_{args.sats}_{args.sec}_{args.noise}_{args.seed}{osc_tag}_v3"
         .encode()).hexdigest()[:16]
@@ -174,9 +213,17 @@ def _report(args, scn, session, wall):
           f"   outliers: {s['n_outliers']}"
           f"   phase errors: {s['n_phase_errors']}")
     print(f"ephemerides decoded: {sorted(s['ephemerides'])}")
+    ev = session.evaluator
+    if ev.raim_events:
+        for t, sat, before, after in ev.raim_events:
+            print(f"RAIM: excluded PRN {sat} "
+                  f"(sse/dof {before:.0f} -> {after:.2f})")
     if s["stat"] is None:
         print("NO FIX (need >= 4 sats with ephemerides + time reference)")
         sys.exit(1)
+    if scn.rec_vel is not None:
+        _report_moving(args, scn, session)
+        return
     mean, dev, n, n_out = s["stat"]
     err = np.linalg.norm(mean - scn.rec_ecef)
     from gps_sdr_tpu.utils.geodesy import ecef_to_geo
@@ -191,6 +238,33 @@ def _report(args, scn, session, wall):
     # (reference README.md:26); 6-sat geometry + quantized broadcast
     # ephemeris put typical runs at 4-6 m
     ok = err < 8.0
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+def _report_moving(args, scn, session):
+    """Moving receiver: judge fixes against the true trajectory and
+    the Doppler velocity series against the true velocity."""
+    from gps_sdr_tpu.utils.gpstime import gps_datetime
+
+    ev = session.evaluator
+    rows = ev.filtered if ev.filtered else ev.positions
+    t = np.array([r[0] for r in rows])
+    pos = np.array([list(r)[1:4] for r in rows])
+    t0 = gps_datetime(scn.tow0, scn.week).timestamp() + 0.25
+    err = np.linalg.norm(
+        pos - (scn.rec_ecef + (t - t0)[:, None] * scn.rec_vel), axis=1)
+    med = float(np.median(err))
+    src = "filtered" if ev.filtered else "raw"
+    print(f"trajectory error ({src}, n={len(err)}): "
+          f"median {med:.2f} m, p90 {np.percentile(err, 90):.2f} m")
+    ok = med < 15.0
+    if ev.velocities:
+        v = np.median(np.array([r[1:] for r in ev.velocities]), axis=0)
+        verr = float(np.linalg.norm(v - scn.rec_vel))
+        print(f"Doppler velocity: |v| {np.linalg.norm(v):.2f} m/s, "
+              f"error vs truth {verr:.3f} m/s")
+        ok = ok and verr < 1.0
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
