@@ -110,6 +110,18 @@ class ReceiverConfig:
     tropo_corr: bool = False        # correct pseudoranges with the
                                     # Saastamoinen troposphere model
                                     # (needs no broadcast data)
+    almanac_resweep_sec: float = 0.0
+                                    # > 0: periodic almanac-warmed
+                                    # channel maintenance — every N s
+                                    # the session re-arms the sweep
+                                    # from the collected/cached almanac
+                                    # (predicted-visible PRNs over a
+                                    # narrowed Doppler grid) so setting
+                                    # satellites hand over to risers
+                                    # without a full-band sweep.  The
+                                    # reference re-sweeps the full grid
+                                    # only on signal loss or a GUI
+                                    # button (gpsrecv.py:423-440)
     raim: bool = False              # RAIM fault detection & exclusion:
                                     # chi-square test on the weighted
                                     # fix residuals; on failure, the

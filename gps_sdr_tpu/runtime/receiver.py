@@ -47,6 +47,8 @@ from gps_sdr_tpu.runtime.evaluator import EpochInput
 class ReceiverStatus:
     stream_no: int = 0
     sweeps_served: int = 0
+    warm_sweeps: int = 0        # cold sweeps served on an almanac-
+                                # narrowed grid (warm_start)
     blocks_processed: int = 0
     skipped_blocks: int = 0
     edge_overflows: int = 0     # edges dropped by the compact download
@@ -132,6 +134,7 @@ class Receiver:
         if hints is not None:
             self.found_sats = acquire_all(self.cfg, block, self._ffts_tab,
                                           prns=hints[0], dopplers=hints[1])
+            self.status.warm_sweeps += 1
         if len(self.found_sats) < self.cfg.min_sat:
             self.found_sats = acquire_all(self.cfg, block, self._ffts_tab)
         del_set, new_set = select_sats(self.slots.active, self.found_sats,

@@ -126,9 +126,38 @@ class Session:
             self.records.append(rec)
         summary = self.evaluator.process(epoch)
         self.summaries.append(summary)
+        if self.cfg.almanac_resweep_sec > 0:
+            self._almanac_maintenance(summary)
         if self.reporter is not None:
             self.reporter.update(epoch.frames, summary, self.evaluator)
             self._handle_ui_events()
+
+    _last_maint = None
+
+    def _almanac_maintenance(self, summary: dict) -> None:
+        """Periodic almanac-warmed channel maintenance
+        (cfg.almanac_resweep_sec): re-arm the sweep from the collected
+        or cached almanac and the current position so setting
+        satellites hand over to risers over a narrowed grid.  The
+        channel-selection policy (runtime/channelmgr.py select_sats)
+        keeps locked satellites, so a maintenance sweep is
+        non-disruptive by construction."""
+        gps_time = summary.get("gps_time")
+        ev = self.evaluator
+        if gps_time is None or not ev.almanacs or ev.warm_start is None:
+            return
+        if self._last_maint is None:
+            self._last_maint = gps_time
+            return
+        if (gps_time - self._last_maint).total_seconds() \
+                < self.cfg.almanac_resweep_sec:
+            return
+        self._last_maint = gps_time
+        from gps_sdr_tpu.utils.gpstime import gps_week_tow
+        _, tow = gps_week_tow(gps_time)
+        if self.receiver.warm_start(ev.almanacs, ev.warm_start[1:4],
+                                    tow):
+            self.receiver.request_sweep()
 
     def _handle_ui_events(self) -> None:
         """UI -> receiver control surface (the reference's GUI buttons /

@@ -86,6 +86,30 @@ def test_corrected_fix_beats_uncorrected(replayed):
         "- atmosphere correction bought nothing")
 
 
+def test_almanac_maintenance_resweeps(replayed):
+    """cfg.almanac_resweep_sec: with a cached almanac and a position,
+    the session periodically re-arms the cold sweep from the almanac
+    prediction (narrowed grid) — channels stay locked and fixes keep
+    flowing through the maintenance sweeps."""
+    from gps_sdr_tpu.models.almanac import almanac_from_ephem
+    from gps_sdr_tpu.runtime.session import Session
+    from gps_sdr_tpu.utils.io import save_almanac
+
+    scn, session, summary = replayed
+    alm_path = os.path.join(_SYNTH_CACHE, "atmos_almanac.json")
+    save_almanac(alm_path,
+                 {s.prn: almanac_from_ephem(s.eph) for s in scn.sats})
+    cfg = CFG.replace(almanac_resweep_sec=2.0)
+    s2 = Session(cfg, almanac_cache_path=alm_path)
+    s2.run_source(replay_blocks(_capture_path(), cfg))
+    st = s2.receiver.status
+    assert st.warm_sweeps >= 2, f"only {st.warm_sweeps} warm sweeps"
+    mean, dev, n, _ = s2.evaluator.stat
+    assert np.linalg.norm(mean - scn.rec_ecef) < 6.0
+    # the tracked set survived the maintenance sweeps
+    assert len(s2.receiver.slots.active) >= 6
+
+
 def test_preloaded_iono_corrects_from_first_fix(replayed):
     """Page 18 repeats only every 30 s of broadcast, so a cold start
     has an iono-blind window before the first SF4 decode (real-receiver
