@@ -22,7 +22,17 @@ import numpy as np
 
 from gps_sdr_tpu.config import GPS_C, L1_FREQ, ReceiverConfig
 from gps_sdr_tpu.models import orbits
-from gps_sdr_tpu.models.ephemeris import EphemerisAssembler, SatStatus
+from gps_sdr_tpu.models.ephemeris import (EPHEM_SF1, EPHEM_SF2,
+                                          EPHEM_SF3, EphemerisAssembler,
+                                          SatStatus)
+
+# the ephemeris fields orbit propagation consumes — a STATIC list, so
+# batching ephemerides across satellites never depends on any one
+# dict's extra keys (a cache-preloaded ephemeris carries "SAT",
+# ephemeris.py:51, while a freshly decoded one does not: keying the
+# batch off the first satellite's dict raised KeyError in mixed
+# warm/cold sessions)
+EPHEM_KEYS = EPHEM_SF1 + EPHEM_SF2 + EPHEM_SF3
 
 MAX_SLOPE = 6.55e-3     # samples/ms; max physical code-phase drift
                         # (|doppler| <= 5 kHz -> 6.5 samples/s; gpslib.py:812)
@@ -128,8 +138,7 @@ def finish_deferred(deferred: list, cfg: ReceiverConfig,
         np.float64)
     smp_a = np.concatenate([d.smp for d in deferred])
     cyc_a = np.concatenate([d.cyc for d in deferred])
-    keys = [k for k, v in deferred[0].ephem.items()
-            if isinstance(v, (int, float, np.floating))]
+    keys = EPHEM_KEYS
     vals = np.array([[d.ephem[k] for k in keys] for d in deferred],
                     np.float64)
     rep = np.repeat(vals, counts, axis=0)       # ONE repeat, all keys

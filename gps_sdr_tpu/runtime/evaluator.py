@@ -613,9 +613,11 @@ class Evaluator:
         if len(rows) < 4:
             return
         fqs = np.array([r[0] for r in rows], np.float64)
-        # batched orbit propagation at dt -/+ 0.5 s across satellites
-        keys = [k for k, v in rows[0][1].items()
-                if isinstance(v, (int, float, np.floating))]
+        # batched orbit propagation at dt -/+ 0.5 s across satellites;
+        # static key list (see models/pseudorange.py EPHEM_KEYS) so
+        # mixed preloaded/decoded ephemeris dicts batch cleanly
+        from gps_sdr_tpu.models.pseudorange import EPHEM_KEYS
+        keys = EPHEM_KEYS
         vals = np.array([[r[1][k] for k in keys] for r in rows],
                         np.float64)
         eph = {k: np.tile(vals[:, j], 2) for j, k in enumerate(keys)}

@@ -194,3 +194,37 @@ def test_walk_matches_sequential(n_cyc, seed):
         assert a.last_sno == b.last_sno
         assert a.last_cp == pytest.approx(b.last_cp, abs=1e-9)
         assert a.cp_hist == pytest.approx(b.cp_hist)
+
+
+def test_finish_deferred_mixed_preloaded_and_decoded_ephems():
+    """Cross-satellite orbit batching must not key off any one
+    satellite's ephemeris dict: a cache-preloaded ephemeris carries an
+    extra "SAT" entry (models/ephemeris.py:51) that freshly decoded
+    ones lack — batching the two together raised KeyError before
+    EPHEM_KEYS pinned the field list."""
+    from gps_sdr_tpu.models.pseudorange import (DeferredRows,
+                                                finish_deferred)
+    from gps_sdr_tpu.models.scenario import make_scenario
+
+    cfg = ReceiverConfig()
+    scn = make_scenario(cfg, n_sats=2, duration_sec=12.0, seed=6)
+    eph_pre = dict(scn.sats[0].eph)
+    eph_pre["SAT"] = scn.sats[0].prn          # cache-preloaded shape
+    eph_dec = dict(scn.sats[1].eph)           # decoded shape: no SAT
+
+    def rows(sat_no, eph):
+        one = np.array([0], np.int64)
+        return DeferredRows(
+            sat_no=sat_no, week_num=scn.week,
+            sigma=np.array([1.0]), ephem=eph,
+            tow=np.array([scn.tow0], np.int64), delta_st=one,
+            smp=np.array([1000.0]), cyc=one)
+
+    res = finish_deferred([rows(scn.sats[0].prn, eph_pre),
+                           rows(scn.sats[1].prn, eph_dec)], cfg)
+    assert len(res) == 2
+    # positions match per-satellite propagation exactly
+    for i, eph in enumerate((eph_pre, eph_dec)):
+        x, y, z, _ = orbits.ecef_coord(scn.tow0, eph,
+                                       dt_from_tow=1 / cfg.sample_rate)
+        assert np.allclose(res.pos[i], [x, y, z])
