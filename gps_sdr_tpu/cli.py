@@ -268,7 +268,9 @@ def _save_outputs(args, cfg, ev) -> None:
 
     if args.out:
         io.save_results(args.out, sat_results=ev.sat_results,
-                        positions=ev.positions)
+                        positions=ev.positions,
+                        velocities=ev.velocities or None,
+                        filtered=ev.filtered or None)
     if args.ephem_cache:
         io.save_ephemerides(args.ephem_cache,
                             {s: e.ephem for s, e in ev.engines.items()

@@ -222,7 +222,9 @@ class Session:
     def save_outputs(self, prefix: str, save_track: bool = False) -> None:
         ev = self.evaluator
         io.save_results(prefix, sat_results=ev.sat_results,
-                        positions=ev.positions)
+                        positions=ev.positions,
+                        velocities=ev.velocities or None,
+                        filtered=ev.filtered or None)
         if self.ephem_cache_path:
             io.save_ephemerides(self.ephem_cache_path,
                                 self.final_summary()["ephemerides"])

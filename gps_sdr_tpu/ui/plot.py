@@ -58,6 +58,7 @@ class PlotUI:
         self._events: list = []
         self._sat_rows: dict[int, dict] = {}
         self._track_en: list[tuple] = []
+        self._ftrack_en: list[tuple] = []    # Kalman-filtered overlay
         self._origin = None          # (lat, lon) of first mean position
         self._mean_geo = None
         self._zoom_span = None       # manual EN half-span once zoomed
@@ -125,6 +126,7 @@ class PlotUI:
     def _on_bt_clear(self, _ev=None):
         self._events.append("CLEAR")
         self._track_en = []
+        self._ftrack_en = []
         self._origin = None
         self._zoom_span = None
 
@@ -290,12 +292,23 @@ class PlotUI:
             e, n = local_offsets_m((self._origin[0], self._origin[1], 0.0),
                                    (lat, lon, alt))
             self._track_en.append((float(e), float(n)))
+        fp = summary.get("filtered_pos")
+        if fp is not None and self._origin is not None:
+            lat, lon, alt = ecef_to_geo(np.asarray(fp[1:4]))
+            e, n = local_offsets_m((self._origin[0], self._origin[1],
+                                    0.0), (lat, lon, alt))
+            self._ftrack_en.append((float(e), float(n)))
         if not self._track_en:
             return
         ax = self.ax_track
         ax.clear()
         arr = np.asarray(self._track_en)
         ax.plot(arr[:, 0], arr[:, 1], "-", lw=0.7, color="0.6")
+        if self._ftrack_en:
+            fa = np.asarray(self._ftrack_en)
+            ax.plot(fa[:, 0], fa[:, 1], "-", lw=1.2, color="tab:blue",
+                    label="filtered")
+            ax.legend(loc="upper right", fontsize=7)
         ax.plot(arr[-1:, 0], arr[-1:, 1], "o", color="red", ms=5)
         # km/m tick relabeling (gpsui.py:510-576 rescale semantics)
         span = max(np.ptp(arr[:, 0]), np.ptp(arr[:, 1]), 1.0)

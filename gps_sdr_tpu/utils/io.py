@@ -87,10 +87,13 @@ def load_almanac(path: str, max_age_sec: int = ALMANAC_VALID_SEC
 
 
 def save_results(prefix: str, frames=None, sat_results=None,
-                 positions=None, code_phases=None) -> None:
-    """JSON result dumps (SAVE_EVAL_RES, gpseval.py:124-138)."""
+                 positions=None, code_phases=None, velocities=None,
+                 filtered=None) -> None:
+    """JSON result dumps (SAVE_EVAL_RES, gpseval.py:124-138; the
+    velocity series and Kalman-filtered track are new surfaces)."""
     for name, data in (("Frames", frames), ("SatRes", sat_results),
-                       ("Pos", positions), ("CP", code_phases)):
+                       ("Pos", positions), ("CP", code_phases),
+                       ("Vel", velocities), ("FilteredPos", filtered)):
         if data is not None:
             with open(f"{prefix}_gps{name}.json", "w") as f:
                 json.dump(data, f, indent=2, cls=NumpyJSONEncoder)
