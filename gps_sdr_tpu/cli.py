@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--tropo-corr", action="store_true",
                        help="correct pseudoranges with the "
                             "Saastamoinen troposphere model")
+        p.add_argument("--acq-noncoherent", type=int, default=1,
+                       metavar="K",
+                       help="average acquisition correlation magnitude "
+                            "over K 4 ms windows (8 = whole block, "
+                            "~4 dB more sensitivity; 1 = reference)")
         p.add_argument("--track-filter", type=float, default=0.0,
                        metavar="Q",
                        help="enable the position/velocity Kalman track "
@@ -147,6 +152,8 @@ def make_config(args) -> ReceiverConfig:
         kw.update(tropo_corr=True)
     if getattr(args, "track_filter", 0.0):
         kw.update(track_filter_q=args.track_filter)
+    if getattr(args, "acq_noncoherent", 1) > 1:
+        kw.update(acq_noncoherent=args.acq_noncoherent)
     return ReceiverConfig(**kw)
 
 

@@ -54,6 +54,14 @@ class ReceiverConfig:
     corr_avg: int = 8               # periods averaged for tracking corr
     corr_min: float = 8.0           # peak threshold in sigmas
     sweep_corr_avg: int = 4         # periods averaged during sweep
+    acq_noncoherent: int = 1        # sweep windows whose correlation
+                                    # MAGNITUDE is averaged before peak
+                                    # detection (1 = reference-exact;
+                                    # 8 uses the whole 32 ms block and
+                                    # buys ~4 dB of acquisition
+                                    # sensitivity — the reference's
+                                    # single 4 ms window is blind below
+                                    # its 8-sigma floor)
 
     # -- channel policy (gpsglob.py:35-44) --
     max_sat: int = 11               # max simultaneously tracked PRNs

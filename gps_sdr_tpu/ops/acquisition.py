@@ -48,29 +48,49 @@ def acquire_impl(cfg: ReceiverConfig, block: Array, dopplers: Array,
                  code_ffts: Array) -> AcqResult:
     """Full-grid acquisition on one block.
 
-    block:     complex64[>= sweep_corr_avg * code_samples]
+    block:     complex64[>= acq_noncoherent * sweep_corr_avg *
+               code_samples]
     dopplers:  float32[D] Doppler bins to test
     code_ffts: complex64[P, code_samples] FFTs of candidate PRN codes
 
     Cost (defaults): D=51 bins x (4 FFT-2048) + D x P=31 IFFT-2048 —
     one shot instead of the reference's ~5-block staged scan.
+
+    cfg.acq_noncoherent = K > 1 averages the correlation MAGNITUDE over
+    K consecutive sweep windows (K * sweep_corr_avg * 1 ms of signal;
+    K <= 8 fits inside one 32 ms block), buying ~1.5 dB of acquisition
+    sensitivity per doubling without the bit-transition / Doppler-bin
+    coherence limits a longer coherent average would hit.  The
+    reference always detects on a single 4 ms window and is blind below
+    its 8-sigma floor.  Code-phase drift across the K windows is
+    <= 0.2 samples per 4 ms at the search-band edge — negligible
+    smearing at K <= 8.
     """
     cs = cfg.code_samples
+    k = max(1, int(cfg.acq_noncoherent))
     n = cfg.sweep_corr_avg * cs
     block = dsp.as_complex_input(block)
     code_ffts = dsp.as_complex_input(code_ffts)
-    data = block[:n]
-
+    data = block[:k * n].reshape(k, n)
     def per_doppler(freq):
-        mixed, _ = dsp.doppler_mix(data, freq, jnp.float32(0.0),
-                                   cfg.sample_rate)
-        return dsp.segment_fft_mean(mixed, cs, 0, cfg.sweep_corr_avg)
+        # each window mixes from phase 0 — the windows are combined
+        # noncoherently (magnitudes), so inter-window carrier phase is
+        # irrelevant; the k=1 path is bit-identical to the original
+        # single-window program
+        def per_win(d):
+            mixed, _ = dsp.doppler_mix(d, freq, jnp.float32(0.0),
+                                       cfg.sample_rate)
+            return dsp.segment_fft_mean(mixed, cs, 0, cfg.sweep_corr_avg)
+        return jax.vmap(per_win)(data)                      # [k, cs]
 
-    fft_means = jax.vmap(per_doppler)(dopplers.astype(jnp.float32))  # [D,cs]
+    fft_means = jax.vmap(per_doppler)(
+        dopplers.astype(jnp.float32))                       # [D, k, cs]
 
-    # corr[D, P, cs] then per-(D,P) normalized peak metrics
-    corr = jnp.abs(dsp.idft(
-        fft_means[:, None, :] * jnp.conjugate(code_ffts)[None, :, :]))
+    # corr[D, P, cs]: noncoherent mean of |corr| over the k windows,
+    # then per-(D,P) normalized peak metrics
+    corr = jnp.mean(jnp.abs(dsp.idft(
+        fft_means[:, :, None, :]
+        * jnp.conjugate(code_ffts)[None, None, :, :])), axis=1)
     mean = jnp.mean(corr, axis=-1)
     std = jnp.std(corr, axis=-1)
     peak = jnp.max(corr, axis=-1)
