@@ -133,3 +133,51 @@ def test_cli_save_and_resume(tmp_path):
     assert r2.returncode == 0, r2.stdout + r2.stderr
     # the resumed run keeps tracking PRN 9 without a new cold sweep
     assert "09" in r2.stdout
+
+
+def test_resume_with_full_feature_state(tmp_path):
+    """Checkpoint/resume with every stateful feature on — Hatch filter
+    states, Kalman track filter, iono coefficients, velocity series,
+    clock-rate estimate — must continue epoch-for-epoch identically
+    (the filter state lives in the pickled evaluator; a reset would
+    show as a jump in the filtered track)."""
+    import numpy as np
+
+    from gps_sdr_tpu.runtime.sources import replay_blocks
+    from tests.test_atmos_closed_loop import CFG as ACFG
+    from tests.test_atmos_closed_loop import _capture_path
+
+    cfg = ACFG.replace(carrier_smoothing=32, track_filter_q=1.0,
+                       solve_clock_rate=True)
+    path = _capture_path()
+    ckpt = str(tmp_path / "full.pkl")
+
+    ref = Session(cfg)
+    ref.run_source(replay_blocks(path, cfg))
+
+    # interrupted at ~2/3 through (fixes and filter already running)
+    s1 = Session(cfg)
+    n_blocks = 0
+    gen = s1.receiver.run(replay_blocks(path, cfg))
+    for e in gen:
+        s1._consume(e)
+        n_blocks = s1.receiver.status.stream_no
+        if n_blocks >= 26 * cfg.no_sec:
+            break
+    gen.close()
+    save_session(s1, ckpt)
+
+    s2 = load_session(ckpt)
+    for e in s2.receiver.run(replay_blocks(path, cfg,
+                                           start_stream=n_blocks)):
+        s2._consume(e)
+
+    assert len(s2.evaluator.positions) == len(ref.evaluator.positions)
+    assert np.allclose(s2.evaluator.positions, ref.evaluator.positions)
+    assert len(s2.evaluator.filtered) == len(ref.evaluator.filtered)
+    assert np.allclose(s2.evaluator.filtered, ref.evaluator.filtered)
+    assert np.allclose(s2.evaluator.velocities,
+                       ref.evaluator.velocities)
+    assert s2.evaluator.iono_params == ref.evaluator.iono_params
+    assert np.isclose(s2.evaluator.clock_rate_est,
+                      ref.evaluator.clock_rate_est)
