@@ -163,6 +163,11 @@ class Evaluator:
                                       # cfg.track_filter_q > 0
     filtered: list = field(default_factory=list)
     # [[posix_t, x, y, z, vx, vy, vz], ...] filtered track states
+    coasted: list = field(default_factory=list)
+    # [[posix_t, x, y, z], ...] track-filter PREDICTIONS emitted for
+    # intervals where satellites were tracked but too few for a fix
+    # (urban-canyon outages) — the filter bridges the gap; the
+    # reference simply stops producing positions
     raim_excluded: dict = field(default_factory=dict)
     # sat_no -> exclusion expiry [GPS seconds of week]
     raim_events: list = field(default_factory=list)
@@ -684,6 +689,25 @@ class Evaluator:
                 kept += self._update_stats(
                     [rec_pos[i] for i in np.nonzero(gid == g)[0]])
         self.positions += [list(map(float, p)) for p in kept]
+        if (not kept and len(sat_res)
+                and self.tfilter is not None
+                and self.tfilter.x is not None):
+            # outage coasting: satellites in view timestamp the epoch
+            # but a fix is impossible (< 4 usable) — emit the filter's
+            # prediction so the track bridges the gap (covariance
+            # grows with the white-acceleration model; a later fix
+            # re-anchors it through the normal update).  Stamp with the
+            # interval's LATEST epoch: the Doppler-velocity update has
+            # already advanced the filter there (gps_time is the
+            # interval's first epoch and would sit in the past)
+            i = int(np.lexsort((sat_res.cyc, sat_res.tow))[-1])
+            t = gps_datetime(int(sat_res.tow[i]),
+                             int(sat_res.week[i])).timestamp() \
+                + int(sat_res.cyc[i]) * self.cfg.n_cyc / 1000.0
+            if self.tfilter.t is not None and t >= self.tfilter.t:
+                self.tfilter._predict(t)
+                self.coasted.append(
+                    [t, *map(float, self.tfilter.pos)])
         return {
             "gps_time": gps_time,
             "active_sats": active,

@@ -108,6 +108,51 @@ def test_moving_capture_filtered_track():
     assert np.linalg.norm(v_end - scn.rec_vel) < 0.5
 
 
+def test_outage_coasting_bridges_gap():
+    """A mid-run interval with too few satellites for a fix must yield
+    track-filter PREDICTIONS (ev.coasted) near the trajectory instead
+    of a silent gap — the reference stops producing positions."""
+    from gps_sdr_tpu.runtime.evaluator import EpochInput, Evaluator
+    from gps_sdr_tpu.runtime.session import Session
+    from gps_sdr_tpu.runtime.sources import replay_blocks
+    from tests.test_velocity import CFG, _capture_path, _scenario
+
+    cfg = CFG.replace(track_filter_q=1.0)
+    rec_session = Session(cfg, record_epochs_to="keep")
+    rec_session.run_source(replay_blocks(_capture_path(), cfg))
+    records = rec_session.records
+    # find the records that produced fixes (tail of the run) and
+    # starve two mid-tail intervals down to 2 satellites
+    n_fix_first = next(i for i, s in enumerate(rec_session.summaries)
+                       if s["n_fixes"] > 0)
+    ev = Evaluator(cfg)
+    n_before = None
+    for i, rec in enumerate(records):
+        e = EpochInput(*rec)
+        if n_fix_first + 3 <= i <= n_fix_first + 4:
+            keep = sorted(e.code_phases)[:2]
+            e = EpochInput(
+                e.skipped_samples, e.frames,
+                {s: e.code_phases[s] for s in keep},
+                {s: e.carrier_freqs[s] for s in keep
+                 if e.carrier_freqs and s in e.carrier_freqs}
+                if e.carrier_freqs else None)
+            if n_before is None:
+                n_before = len(ev.coasted)
+        ev.process(e)
+    assert len(ev.coasted) >= n_before + 2, "no coasted predictions"
+    scn = _scenario()
+    from gps_sdr_tpu.utils.gpstime import gps_datetime
+    t0 = gps_datetime(scn.tow0, scn.week).timestamp() + 0.25
+    for row in ev.coasted[n_before:]:
+        truth = scn.rec_ecef + (row[0] - t0) * scn.rec_vel
+        err = np.linalg.norm(np.array(row[1:4]) - truth)
+        assert err < 25.0, f"coasted {err:.1f} m off the trajectory"
+    # fixes resumed and re-anchored the filter after the outage
+    assert len(ev.filtered) > 0
+    assert ev.positions
+
+
 def test_filter_with_carrier_smoothing_stays_healthy():
     """With carrier smoothing the fixes carry EMA-correlated noise; the
     evaluator inflates R by the window so the innovation gate must not
