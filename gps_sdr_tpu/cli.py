@@ -108,6 +108,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("path")
     p.add_argument("--start-stream", type=int, default=0,
                    help="skip this many blocks first (START_STREAM)")
+    p.add_argument("--input-rate", type=float, default=None,
+                   metavar="HZ",
+                   help="capture sample rate if it exceeds the "
+                        "processing rate (integer multiple): the "
+                        "digital front end decimates it on-device")
+    p.add_argument("--input-if", type=float, default=0.0, metavar="HZ",
+                   help="IF of a REAL-sampled capture (digital "
+                        "downconversion; use with --input-format "
+                        "real16)")
+    p.add_argument("--input-format", choices=("iq8", "real16"),
+                   default="iq8",
+                   help="capture sample format (iq8 = the reference's "
+                        "packed uint16 IQ)")
     common(p)
 
     p = sub.add_parser("synth", help="run on a synthetic scenario")
@@ -169,9 +182,16 @@ def make_reporter(args):
 
 def block_source(args, cfg):
     if args.mode == "replay":
-        from gps_sdr_tpu.runtime.sources import replay_blocks
+        from gps_sdr_tpu.runtime.sources import (replay_blocks,
+                                                 replay_decimated)
         max_blocks = (None if args.max_sec is None
                       else int(args.max_sec / cfg.block_sec))
+        if getattr(args, "input_rate", None):
+            return replay_decimated(args.path, cfg, args.input_rate,
+                                    f_if=args.input_if,
+                                    fmt=args.input_format,
+                                    start_stream=args.start_stream,
+                                    max_blocks=max_blocks)
         return replay_blocks(args.path, cfg,
                              start_stream=args.start_stream,
                              max_blocks=max_blocks)
