@@ -579,6 +579,29 @@ def main():
         pass
     except Exception as e:
         stress["acq_16msps_full_grid_ms"] = _fail(e)
+    try:
+        if not want("frontend"):
+            raise _Skip
+        # digital front-end throughput: decimate 1 s of an 8.192 MS/s
+        # capture (strided conv on the MXU, ops/frontend.py)
+        from gps_sdr_tpu.ops.frontend import _fir_decimate, \
+            decimation_taps
+        dec = jax.jit(_fir_decimate, static_argnums=(2,))
+        taps = jnp.asarray(decimation_taps(4))
+        n_in = 4 * cfg.ngps * 32                    # 1.024 s at 4x
+        xhi = jnp.asarray(
+            np.random.default_rng(0).standard_normal(
+                (2, n_in)).astype(np.float32))
+        force_f32(dec(xhi, taps, 4))                # compile
+        t0 = time.perf_counter()
+        for _ in range(4):
+            force_f32(dec(xhi, taps, 4))
+        w = (time.perf_counter() - t0) / 4
+        stress["frontend_decimate_msps_in"] = round(n_in / w / 1e6, 1)
+    except _Skip:
+        pass
+    except Exception as e:
+        stress["frontend_decimate_msps_in"] = _fail(e)
 
     summary = {k: np.asarray(v)
                for k, v in summarize_states(cfg, st2).items()}
