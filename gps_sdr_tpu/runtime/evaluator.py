@@ -146,6 +146,11 @@ class Evaluator:
     # running statistics
     all_pos: list = field(default_factory=list)
     stat: tuple | None = None        # (mean[3], std[3], n, n_outliers)
+    dop: tuple | None = None         # (gdop, pdop, hdop, vdop) of the
+                                     # latest fixed epoch (unweighted
+                                     # geometry; classic receiver
+                                     # quality figure the reference
+                                     # never reports)
     last_pos_time: float | None = None
     warm_start: np.ndarray | None = None
     clock_rate_est: float = 0.0      # filtered receiver-clock rate error
@@ -420,7 +425,37 @@ class Evaluator:
                     np.asarray(fix.meas_delay[:ne], float).tolist()))
             else:
                 fails.append((tw, cy, "MAX_RESIDUAL"))
+        if rec_pos:
+            self._update_dop(np.asarray(self.warm_start[1:4]),
+                             sat_res, order, gs, gc)
         return sat_pos_list, rec_pos, fails
+
+    def _update_dop(self, rec, sat_res, order, gs, gc) -> None:
+        """Dilution of precision of the last epoch (unweighted
+        geometry): GDOP/PDOP/HDOP/VDOP from (G'G)^-1 with the position
+        block rotated into the local ENU frame."""
+        from gps_sdr_tpu.utils.geodesy import ecef_to_geo
+        e = len(gs) - 1
+        rows = order[gs[e]:gs[e] + gc[e]]
+        los = sat_res.pos[rows] - rec[None, :]
+        los /= np.linalg.norm(los, axis=1, keepdims=True)
+        g = np.hstack([los, -np.ones((len(rows), 1))])
+        try:
+            q = np.linalg.inv(g.T @ g)
+        except np.linalg.LinAlgError:
+            return
+        lat, lon, _ = ecef_to_geo(rec)
+        lat, lon = np.deg2rad(lat), np.deg2rad(lon)
+        sl, cl = np.sin(lat), np.cos(lat)
+        so, co = np.sin(lon), np.cos(lon)
+        r_enu = np.array([[-so, co, 0.0],
+                          [-sl * co, -sl * so, cl],
+                          [cl * co, cl * so, sl]])
+        q_enu = r_enu @ q[:3, :3] @ r_enu.T
+        self.dop = (float(np.sqrt(max(np.trace(q), 0.0))),
+                    float(np.sqrt(max(np.trace(q[:3, :3]), 0.0))),
+                    float(np.sqrt(max(q_enu[0, 0] + q_enu[1, 1], 0.0))),
+                    float(np.sqrt(max(q_enu[2, 2], 0.0))))
 
     # -- statistics (ecefStatistics, gpseval.py:332-369) --
 
@@ -721,4 +756,5 @@ class Evaluator:
             "n_phase_errors": self.n_phase_errors,
             "velocity": self.vel_result,
             "filtered_pos": self.filtered[-1] if self.filtered else None,
+            "dop": self.dop,
         }

@@ -57,6 +57,10 @@ class HeadlessReporter:
             p(f"mean ECEF ({mean[0]:.1f}, {mean[1]:.1f}, {mean[2]:.1f}) m"
               f"  sd ({dev[0]:.1f}, {dev[1]:.1f}, {dev[2]:.1f}) m  n={n}\n")
             p(f"geo  {lat:.6f} deg, {lon:.6f} deg, {alt:.1f} m\n")
+        dop = summary.get("dop")
+        if dop is not None:
+            p(f"DOP  G={dop[0]:.1f} P={dop[1]:.1f} H={dop[2]:.1f} "
+              f"V={dop[3]:.1f}\n")
         vel = summary.get("velocity")
         if vel is not None:
             p(f"vel  {np.linalg.norm(vel.vel):5.2f} m/s "

@@ -270,8 +270,13 @@ class PlotUI:
             lines += [
                 f"speed      {float(np.linalg.norm(vel.vel)):5.2f} m/s"
                 f"   clock drift {vel.clock_drift * 1e6:+.3f} ppm",
-                "",
             ]
+        dop = summary.get("dop")
+        if dop is not None:
+            lines += [f"DOP        G {dop[0]:.1f}  P {dop[1]:.1f}"
+                      f"  H {dop[2]:.1f}  V {dop[3]:.1f}"]
+        if vel is not None or dop is not None:
+            lines += [""]
         lines += [
             f"skipped blocks : {summary.get('skipped_blocks', 0)}",
             f"outliers       : {summary.get('n_outliers', 0)}",

@@ -115,3 +115,23 @@ def test_atmosphere_clamps():
     # troposphere: elevation floored at 3 deg, height clamped
     assert tropo_delay(np.deg2rad(-5.0)) == tropo_delay(np.deg2rad(3.0))
     assert np.isfinite(tropo_delay(np.deg2rad(45.0), 99999.0))
+
+
+def test_dop_reported_and_matches_geometry():
+    """One pipeline fix interval must report GDOP/PDOP/HDOP/VDOP
+    consistent with the constellation geometry (seed 35 was measured
+    at GDOP 3.2 when picking scenario seeds)."""
+    from gps_sdr_tpu.runtime.session import Session
+    from gps_sdr_tpu.runtime.sources import replay_blocks
+    from tests.test_raim import _capture_path
+
+    cfg = ReceiverConfig()
+    s = Session(cfg)
+    s.run_source(replay_blocks(_capture_path(), cfg))
+    dop = s.evaluator.dop
+    assert dop is not None
+    g, p, h, v = dop
+    assert 1.0 < g < 10.0
+    assert p < g                       # clock term adds to GDOP
+    assert np.isclose(np.hypot(h, v), p, rtol=1e-9)
+    assert s.summaries[-1]["dop"] == dop
