@@ -148,7 +148,70 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("eval", help="evaluator half of the two-process "
                        "topology (listens on UDP)")
     common(p)
+
+    p = sub.add_parser("snapshot", help="coarse-time snapshot fix from "
+                       "one block of a capture — no nav decode; needs "
+                       "cached ephemerides + a coarse position/time "
+                       "prior (ops/snapshot.py)")
+    p.add_argument("path", help="recorded IQ capture (.bin, iq8)")
+    p.add_argument("--ephem-cache", required=True, metavar="PATH",
+                   help="ephemeris JSON cache (save with --ephem-cache "
+                        "on a normal run)")
+    p.add_argument("--prior-geo", required=True, metavar="LAT,LON,H",
+                   help="coarse position prior, good to ~100 km")
+    p.add_argument("--tow", type=float, required=True,
+                   help="coarse GPS time of week at capture start [s], "
+                        "good to ~1 min")
+    p.add_argument("--start-stream", type=int, default=0,
+                   help="block number of the capture to snapshot")
+    p.add_argument("--n-cyc", type=int, default=32, choices=(8, 16, 32))
+    p.add_argument("--height", type=float, default=None,
+                   help="WGS84 height constraint [m] (4-sat fixes)")
     return ap
+
+
+def run_snapshot(args) -> int:
+    """One-block coarse-time fix from a capture + cached ephemerides."""
+    from gps_sdr_tpu.config import GPS_C
+    from gps_sdr_tpu.ops import cacode
+    from gps_sdr_tpu.ops.snapshot import snapshot_fix
+    from gps_sdr_tpu.runtime.sources import replay_blocks
+    from gps_sdr_tpu.utils.geodesy import ecef_to_geo, geo_to_ecef
+    from gps_sdr_tpu.utils.io import load_ephemerides
+
+    cfg = ReceiverConfig(n_cyc=args.n_cyc)
+    ephs = load_ephemerides(args.ephem_cache)
+    ephs = {prn: e for prn, e in ephs.items()
+            if isinstance(e, dict) and "sqrtA" in e}
+    if not ephs:
+        print("error: ephemeris cache empty, expired, or not decoded",
+              file=sys.stderr)
+        return 2
+    lat, lon, h = (float(v) for v in args.prior_geo.split(","))
+    prior = np.asarray(geo_to_ecef(lat, lon, h), np.float64)
+    block = None
+    for block in replay_blocks(args.path, cfg,
+                               start_stream=args.start_stream,
+                               max_blocks=1):
+        break
+    if block is None:
+        print("error: capture shorter than start stream", file=sys.stderr)
+        return 2
+    t_gps = args.tow + args.start_stream * cfg.block_sec
+    res = snapshot_fix(cfg, block, cacode.ca_fft_table(cfg), ephs,
+                       t_gps, prior, height=args.height)
+    if res is None:
+        print("snapshot: not enough acquired satellites with ephemeris")
+        return 1
+    gla, glo, gal = ecef_to_geo(res.rec_pos)
+    print(f"snapshot fix: {gla:.6f} deg, {glo:.6f} deg, {gal:.1f} m "
+          f"(n_sat={res.n_sat}, resid {res.residual_m:.1f} m)")
+    print(f"  ecef: {res.rec_pos[0]:.1f} {res.rec_pos[1]:.1f} "
+          f"{res.rec_pos[2]:.1f} m")
+    print(f"  corrected tow: {res.t_gps:.4f} s "
+          f"(coarse-time error {res.dt_s:+.4f} s, "
+          f"clock bias {res.clock_bias_m / GPS_C * 1e3:+.4f} ms)")
+    return 0
 
 
 def make_config(args) -> ReceiverConfig:
@@ -409,6 +472,8 @@ def run_in_process(args, cfg) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.mode == "snapshot":
+        return run_snapshot(args)
     cfg = make_config(args)
     if args.mode == "eval" or args.role == "eval" or args.role == "recv":
         if getattr(args, "save_state", None) \
