@@ -206,7 +206,7 @@ def main():
     # --- stress configurations (BASELINE.md): wide grid, 32 channels,
     #     16 MS/s front end.  Best-effort extras; never fail the bench.
     #     BENCH_EXTRAS selects a comma-separated subset (default all):
-    #     widegrid,ch32,streams,fullloop,serving,ncyc8,msps16
+    #     widegrid,snapshot,ch32,streams,fullloop,serving,ncyc8,msps16
     _extras = set(os.environ.get("BENCH_EXTRAS", "all").split(","))
 
     def want(name: str) -> bool:
@@ -229,6 +229,41 @@ def main():
         pass
     except Exception as e:
         stress["acq_31prn_pm10khz_ms"] = _fail(e)
+    try:
+        if not want("snapshot"):
+            raise _Skip
+        # coarse-time snapshot fix (ops/snapshot.py): full acquisition
+        # grid on-chip + 5-unknown host solve from a 50 km / 20 s
+        # prior — the whole time-to-first-fix, vs the reference's
+        # ~30 s of decoded subframes
+        from gps_sdr_tpu.models.scenario import (make_scenario,
+                                                 synth_scenario_blocks)
+        from gps_sdr_tpu.ops.snapshot import snapshot_fix
+        scn_s = make_scenario(cfg, n_sats=7, duration_sec=4.0, seed=11)
+        snap_cache = ".synth_cache/bench_snapshot_v1.npy"
+        if os.path.exists(snap_cache):
+            snap_blk = np.load(snap_cache)
+        else:
+            snap_blk = synth_scenario_blocks(scn_s, 8, 1, noise_std=0.6,
+                                             seed=7)[0]
+            os.makedirs(".synth_cache", exist_ok=True)
+            np.save(snap_cache, snap_blk)
+        ephs_s = {s.prn: s.eph for s in scn_s.sats}
+        t_rx_s = scn_s.t_rx0 + 8 * cfg.ngps / cfg.sample_rate
+        prior_s = scn_s.rec_ecef + np.array([30e3, -30e3, 20e3])
+        snap = snapshot_fix(cfg, snap_blk, ftab, ephs_s,
+                            t_rx_s - 20.0, prior_s)       # compile
+        t0 = time.perf_counter()
+        snap = snapshot_fix(cfg, snap_blk, ftab, ephs_s,
+                            t_rx_s - 20.0, prior_s)
+        stress["snapshot_ttff_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
+        stress["snapshot_err_m"] = round(float(np.linalg.norm(
+            snap.rec_pos - scn_s.rec_ecef)), 1)
+    except _Skip:
+        pass
+    except Exception as e:
+        stress["snapshot_ttff_ms"] = _fail(e)
     try:
         if not want("ch32"):
             raise _Skip

@@ -978,6 +978,22 @@ def outs_to_numpy(outs: ChannelOut) -> ChannelOut:
     return unpack_outs(np.asarray(pack_outs(outs)), n_edge)
 
 
+def cn0_from_amp(amp, code_period_hz: float = 1000.0):
+    """Carrier-to-noise density C/N0 [dB-Hz] from the tracker's
+    amplitude ratio AMP = mean|m| / std|m| of the 1 ms coherent prompt
+    sums (the figure the reference reports raw and never calibrates,
+    reportValues, src/gpslib.py:1124-1131).
+
+    With m = A + n, per-component noise sigma s: E|m|^2 = A^2 + 2 s^2
+    and Var|m| ~= s^2 at tracking SNRs, so A^2/s^2 = AMP^2 - 1 and
+    C/N0 = (A^2 / (2 s^2)) * code_period_hz.  Per-block estimates
+    carry ~1-2 dB of scatter from the 32-sample std; average over a
+    few seconds for display-grade numbers."""
+    amp = np.asarray(amp, np.float64)
+    snr = np.maximum(amp * amp - 1.0, 1e-2)
+    return 10.0 * np.log10(snr * 0.5 * code_period_hz)
+
+
 # --- compact transport (run_device streaming) -------------------------------
 #
 # The full pack_outs buffer is [T, C, ~143] f32 (~220 KB/s-chunk at 12

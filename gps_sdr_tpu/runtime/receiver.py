@@ -33,7 +33,8 @@ from gps_sdr_tpu.config import ReceiverConfig
 from gps_sdr_tpu.models.navmsg import NavDecoder
 from gps_sdr_tpu.ops import cacode
 from gps_sdr_tpu.ops.acquisition import acquire_all
-from gps_sdr_tpu.ops.tracking import (ChannelOut, init_channel_states,
+from gps_sdr_tpu.ops.tracking import (ChannelOut, cn0_from_amp,
+                                      init_channel_states,
                                       outs_to_numpy, pack_outs_compact,
                                       reset_channel, summarize_states,
                                       to_f32_pairs, track_chunk,
@@ -301,6 +302,7 @@ class Receiver:
             for sf in subs:
                 sf["SAT"] = prn
                 sf["AMP"] = float(outs.amplitude[-1, slot])
+                sf["CN0"] = float(cn0_from_amp(outs.amplitude[-1, slot]))
                 sf["CRM"] = float(outs.norm_max[-1, slot])
                 sf["FRQ"] = float(outs.freq[-1, slot])
                 sf["SWP"] = False

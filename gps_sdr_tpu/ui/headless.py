@@ -31,6 +31,11 @@ class HeadlessReporter:
             row = self._sat_rows.setdefault(sat, {})
             row.update(amp=sf.get("AMP", 0.0), cor=sf.get("CRM", 0.0),
                        frq=sf.get("FRQ", 0.0), eph=sf.get("EPH", ""))
+            if "CN0" in sf:
+                # EMA over reports: the per-block estimate carries
+                # ~1-2 dB of scatter (ops/tracking.py cn0_from_amp)
+                row["cn0"] = 0.7 * row.get("cn0", sf["CN0"]) \
+                    + 0.3 * sf["CN0"]
             if "tow" in sf:
                 row.update(tow=sf["tow"], sfid=sf["ID"])
             if sf.get("SWP"):
@@ -42,11 +47,12 @@ class HeadlessReporter:
         used = summary.get("active_sats", set())
         gps_time = summary.get("gps_time")
         p(f"\n== t={gps_time} fixes={summary.get('n_fixes', 0)}\n")
-        p("PRN    AMP   COR     FRQ      TOW ID EPH\n")
+        p("PRN    AMP  C/N0   COR     FRQ      TOW ID EPH\n")
         for sat in sorted(self._sat_rows):
             r = self._sat_rows[sat]
             mark = "*" if sat in used else " "
-            p(f"{mark}{sat:02d}  {r.get('amp', 0):5.1f} {r.get('cor', 0):5.1f}"
+            p(f"{mark}{sat:02d}  {r.get('amp', 0):5.1f}"
+              f" {r.get('cn0', 0):5.1f} {r.get('cor', 0):5.1f}"
               f" {r.get('frq', 0):+8.1f} {r.get('tow', 0):8d}"
               f" {r.get('sfid', 0):2d} {r.get('eph', ''):>3s}"
               f"{' SWEEP' if r.pop('swp', False) else ''}\n")

@@ -216,6 +216,9 @@ class PlotUI:
             row = self._sat_rows.setdefault(sat, {})
             row.update(amp=sf.get("AMP", 0.0), cor=sf.get("CRM", 0.0),
                        frq=sf.get("FRQ", 0.0), eph=sf.get("EPH", ""))
+            if "CN0" in sf:
+                row["cn0"] = 0.7 * row.get("cn0", sf["CN0"]) \
+                    + 0.3 * sf["CN0"]
             if "tow" in sf:
                 row.update(tow=sf["tow"], sfid=sf["ID"])
 
@@ -232,12 +235,13 @@ class PlotUI:
         ax = self.ax_table
         ax.clear()
         ax.axis("off")
-        lines = ["PRN    AMP    COR      FRQ      TOW ID EPH"]
+        lines = ["PRN    AMP  C/N0    COR      FRQ      TOW ID EPH"]
         for sat in sorted(self._sat_rows):
             r = self._sat_rows[sat]
             mark = "*" if sat in used else " "
             lines.append(
                 f"{mark}{sat:02d}  {r.get('amp', 0):5.1f} "
+                f"{r.get('cn0', 0):5.1f} "
                 f"{r.get('cor', 0):6.1f} {r.get('frq', 0):+8.1f} "
                 f"{r.get('tow', 0):8d} {r.get('sfid', 0):2d} "
                 f"{r.get('eph', ''):>3s}")

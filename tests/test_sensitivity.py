@@ -14,8 +14,9 @@ from gps_sdr_tpu.models.navmsg import NavDecoder
 from gps_sdr_tpu.models.simulator import SatSignal, random_bits, synth_stream
 from gps_sdr_tpu.ops import cacode
 from gps_sdr_tpu.ops.acquisition import acquire_all
-from gps_sdr_tpu.ops.tracking import (init_channel_states, outs_to_numpy,
-                                      reset_channel, track_chunk)
+from gps_sdr_tpu.ops.tracking import (cn0_from_amp, init_channel_states,
+                                      outs_to_numpy, reset_channel,
+                                      track_chunk)
 from tests.conftest import cached_synth
 
 CFG = ReceiverConfig()
@@ -46,6 +47,13 @@ def test_acquire_track_decode_at_cn0(cn0, noise):
     assert o.locked[-1, 0]
     assert (o.code_phase[:, 0] >= 0).mean() > 0.7
     assert abs(o.freq[-1, 0] - SAT.doppler) < 5.0
+
+    # C/N0 calibration: the synth's exact level is
+    # 10 log10(fs / (2 sigma^2)); cn0_from_amp averaged over the
+    # settled tail must land on it
+    truth_cn0 = 10 * np.log10(CFG.sample_rate / (2 * noise ** 2))
+    est = float(np.mean(cn0_from_amp(o.amplitude[32:, 0])))
+    assert abs(est - truth_cn0) < 2.0, (est, truth_cn0)
 
     dec = NavDecoder(ngps=CFG.ngps)
     for b in range(blocks.shape[0]):
