@@ -240,7 +240,11 @@ def main():
                                                  synth_scenario_blocks)
         from gps_sdr_tpu.ops.snapshot import snapshot_fix
         scn_s = make_scenario(cfg, n_sats=7, duration_sec=4.0, seed=11)
-        snap_cache = ".synth_cache/bench_snapshot_v1.npy"
+        # cache key carries every parameter the cached block depends
+        # on — a bare version string would go stale silently if the
+        # bench cfg or scenario params drift
+        snap_cache = (".synth_cache/bench_snapshot"
+                      f"_g{cfg.ngps}_s7_seed11_n0.6.npy")
         if os.path.exists(snap_cache):
             snap_blk = np.load(snap_cache)
         else:

@@ -181,8 +181,17 @@ def run_snapshot(args) -> int:
 
     cfg = ReceiverConfig(n_cyc=args.n_cyc)
     ephs = load_ephemerides(args.ephem_cache)
-    ephs = {prn: e for prn, e in ephs.items()
-            if isinstance(e, dict) and "sqrtA" in e}
+    # a normal cache only holds ephem_ok entries, but a hand-edited or
+    # third-party file may carry partial dicts — require the full key
+    # set _stack_ephs needs and report what was skipped
+    from gps_sdr_tpu.models.pseudorange import EPHEM_KEYS
+    complete = {prn: e for prn, e in ephs.items()
+                if isinstance(e, dict) and all(k in e for k in EPHEM_KEYS)}
+    skipped = sorted(set(ephs) - set(complete))
+    if skipped:
+        print(f"snapshot: skipping PRNs with incomplete ephemeris: "
+              f"{skipped}", file=sys.stderr)
+    ephs = complete
     if not ephs:
         print("error: ephemeris cache empty, expired, or not decoded",
               file=sys.stderr)
@@ -204,6 +213,15 @@ def run_snapshot(args) -> int:
         print("snapshot: not enough acquired satellites with ephemeris")
         return 1
     gla, glo, gal = ecef_to_geo(res.rec_pos)
+    # a mis-resolved millisecond integer (prior outside the ~150 km /
+    # ~1 min validity) leaves hundreds of meters of post-fit residual:
+    # flag the fix rather than print it as trustworthy
+    suspect = res.residual_m > 300.0 or not res.converged
+    if suspect:
+        print("snapshot: WARNING - fix is suspect "
+              f"(residual {res.residual_m:.0f} m, converged="
+              f"{res.converged}); check the position/time prior",
+              file=sys.stderr)
     print(f"snapshot fix: {gla:.6f} deg, {glo:.6f} deg, {gal:.1f} m "
           f"(n_sat={res.n_sat}, resid {res.residual_m:.1f} m)")
     print(f"  ecef: {res.rec_pos[0]:.1f} {res.rec_pos[1]:.1f} "

@@ -53,6 +53,7 @@ class SnapshotResult(NamedTuple):
     n_iter: int
     n_sat: int
     ms_int: np.ndarray      # [n] resolved millisecond integers
+    converged: bool = True  # Gauss-Newton step dropped below max_residual
 
 
 def _stack_ephs(ephs: list[dict]) -> dict:
@@ -108,6 +109,12 @@ def solve_snapshot(ephs: list[dict], frac_ms: np.ndarray, t_gps: float,
     code phases in milliseconds (acquisition code_phase/code_samples);
     t_gps: coarse GPS seconds-of-week of the block start; rec_pos0 [3]:
     coarse ECEF prior.  Returns None when underdetermined.
+
+    Validity: the millisecond-integer resolution assumes the prior is
+    within ~150 km / ~1 min of truth; a worse prior can mis-resolve the
+    integers and converge to a confidently wrong position.  Callers
+    must gate on the returned residual_m (a mis-resolved integer leaves
+    hundreds of meters of post-fit residual) and on `converged`.
     """
     frac_ms = np.asarray(frac_ms, np.float64) % 1.0
     n = len(frac_ms)
@@ -178,12 +185,19 @@ def solve_snapshot(ephs: list[dict], frac_ms: np.ndarray, t_gps: float,
                 residual = np.inf
             reresolved = True
 
-    res_m = fgn[:n]
+    # evaluate the model once more at the FINAL u: fgn above was formed
+    # at the previous iterate, so reporting it would understate (or
+    # overstate) the misfit of the state actually returned
+    tau = pr_s + dtsv - u[3] / GPS_C
+    pos, dtsv, _ = _sat_states(eph_b, t_gps + u[4] - tau, tau)
+    rng = np.linalg.norm(pos - u[:3, None], axis=0)
+    res_m = rng - GPS_C * (pr_s + dtsv) + u[3]
     return SnapshotResult(
         rec_pos=u[:3], clock_bias_m=float(u[3]), dt_s=float(u[4]),
         t_gps=t_gps + float(u[4]),
         residual_m=float(np.sqrt(np.mean(res_m ** 2))),
-        n_iter=it, n_sat=n, ms_int=ints)
+        n_iter=it, n_sat=n, ms_int=ints,
+        converged=bool(residual <= max_residual))
 
 
 def snapshot_fix(cfg, block, code_fft_table, ephs_by_prn: dict,

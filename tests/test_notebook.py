@@ -14,7 +14,7 @@ NB = os.path.join(os.path.dirname(__file__), "..", "examples",
 def test_analysis_notebook_executes():
     nb = nbformat.read(NB, as_version=4)
     client = NotebookClient(
-        nb, timeout=600, kernel_name="python3",
+        nb, timeout=900, kernel_name="python3",
         resources={"metadata": {"path": os.path.dirname(NB)}})
     client.execute()
     # the evaluator cell printed fix statistics and the live-parallel

@@ -1,0 +1,221 @@
+"""Differential validation against the ACTUAL reference implementation.
+
+Every parity claim in this repo was previously checked against oracles
+written by the same author — a shared misunderstanding would cancel out.
+This module closes that loop: the upstream sources at /root/reference/src
+are imported and EXECUTED (never copied — see tests/ref_driver.py) on a
+synthetic 8-bit capture, and their outputs are compared field-by-field
+with this repo's pipeline on the same bytes:
+
+  * acquisition : same PRN set (gpsrecv.sweepAllSats vs ops/acquisition)
+  * tracking    : interpolated code phases agree to a fraction of a
+                  sample (gpslib.SatStream.process vs ops/tracking)
+  * nav decode  : decoded subframe dicts are IDENTICAL field-for-field
+                  (gpslib.Subframe vs models/navmsg)
+  * positioning : fix trajectories agree within the reference's own
+                  1-5 m scatter (gpseval pipeline + leastSquaresPos vs
+                  runtime/evaluator + ops/pvt)
+
+The capture is mild-TCXO (0.3 ppm) so every Doppler falls inside the
+reference's hard-coded +-5 kHz sweep (gpsglob.py:73-75).  Both the
+capture and the reference run are disk-cached; steady-state CI cost is
+one extra Session replay.
+"""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.models.scenario import make_scenario
+from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
+from gps_sdr_tpu.runtime.sources import pack_iq, replay_blocks
+from tests.conftest import _SYNTH_CACHE
+
+SEC = 48.0
+SEED = 2                  # GDOP 2.26 at the golden coordinates
+OSC_PPM = 0.3             # keeps Dopplers inside the reference's +-5 kHz
+OSC_PPM_RATE = 1.0e-4
+NOISE_STD = 1.0           # ~9-25 sigma correlations: realistic, and cross-
+                          # correlation floor stays below the 8 sigma gate
+SCALE = 0.05
+
+CFG = ReceiverConfig()
+
+# reference transport keys added by reportValues (gpslib.py:1124-1131)
+# and the eval loop — everything else in a subframe dict is a nav field
+# and must match exactly
+TRANSPORT_KEYS = {"SAT", "AMP", "CRM", "FRQ", "SWP", "EPH", "ST"}
+
+
+def _scenario():
+    return make_scenario(CFG, n_sats=8, duration_sec=SEC + 12.0, seed=SEED,
+                         osc_ppm=OSC_PPM, osc_ppm_rate=OSC_PPM_RATE)
+
+
+def _capture_path():
+    os.makedirs(_SYNTH_CACHE, exist_ok=True)
+    path = os.path.join(_SYNTH_CACHE, "diff_capture_v1.bin")
+    if os.path.exists(path):
+        return path
+    scn = _scenario()
+    dev = DeviceScenarioSynth(scn, noise_std=NOISE_STD)
+    n_blocks = int(round(SEC / CFG.block_sec))
+    step = CFG.no_sec
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        done = 0
+        while done < n_blocks:
+            k = min(step, n_blocks - done)
+            chunk = np.asarray(dev.chunk(done, k))
+            pack_iq(SCALE * chunk).tofile(f)
+            done += k
+    os.replace(tmp, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def ref_result():
+    """Run the reference pipeline (subprocess; see ref_driver.py) once
+    per capture; cache the pickled outputs."""
+    capture = _capture_path()
+    out = os.path.join(_SYNTH_CACHE, "diff_refresult_v1.pkl")
+    if not os.path.exists(out):
+        driver = os.path.join(os.path.dirname(__file__), "ref_driver.py")
+        subprocess.run([sys.executable, driver, capture, out + ".tmp"],
+                       check=True, timeout=3600)
+        os.replace(out + ".tmp", out)
+    with open(out, "rb") as f:
+        return pickle.load(f)
+
+
+@pytest.fixture(scope="module")
+def ours():
+    """This repo's pipeline on the same capture."""
+    from gps_sdr_tpu.runtime.session import Session
+
+    path = _capture_path()
+    session = Session(CFG, record_epochs_to="memory")
+    summary = session.run_source(replay_blocks(path, CFG))
+    return session, summary
+
+
+def test_acquired_prn_sets_match(ref_result, ours):
+    session, _ = ours
+    scn = _scenario()
+    true_prns = {s.prn for s in scn.sats}
+    ref_prns = {s for _, s, _, _ in ref_result["found"]}
+    our_prns = {int(p) for p in session.receiver.slots.slot_prn if p != 0}
+    assert ref_prns == true_prns
+    assert our_prns == ref_prns
+
+
+def test_decoded_subframes_identical(ref_result, ours):
+    """Every nav field of every subframe both sides decoded must agree
+    exactly — this is the claim the shared encoder/decoder table could
+    have silently broken."""
+    session, _ = ours
+    ref_frames = {}
+    for sf in ref_result["frames"]:
+        ref_frames[(sf["SAT"], sf["ID"], sf["tow"])] = sf
+
+    our_frames = {}
+    for rec in session.records:
+        for sf in rec[1]:
+            if "ID" in sf:
+                our_frames[(sf["SAT"], sf["ID"], sf["tow"])] = sf
+
+    common = set(ref_frames) & set(our_frames)
+    # both sides must have decoded a healthy stream of subframes, and
+    # they must overlap almost completely
+    assert len(ref_frames) >= 30, f"reference decoded {len(ref_frames)}"
+    assert len(common) >= 0.9 * len(ref_frames), (
+        f"only {len(common)}/{len(ref_frames)} subframes in common; "
+        f"ours={len(our_frames)}")
+
+    mismatches = []
+    for key in sorted(common):
+        rf, of = ref_frames[key], our_frames[key]
+        nav_keys = (set(rf) & set(of)) - TRANSPORT_KEYS
+        # our decoder must not be missing any reference nav field
+        missing = set(rf) - TRANSPORT_KEYS - set(of)
+        assert not missing, f"{key}: fields absent in ours: {missing}"
+        for k in nav_keys:
+            if rf[k] != of[k]:
+                mismatches.append((key, k, rf[k], of[k]))
+        # sample-time anchor of the subframe (preamble start)
+        if abs(int(rf["ST"]) - int(of["ST"])) > 3:
+            mismatches.append((key, "ST", rf["ST"], of["ST"]))
+    assert not mismatches, f"{len(mismatches)} field mismatches: " \
+                           f"{mismatches[:10]}"
+
+
+def test_code_phases_subsample_agreement(ref_result, ours):
+    session, _ = ours
+    our_coph = {}
+    for rec in session.records:
+        for sat, lst in rec[2].items():
+            our_coph.setdefault(sat, {}).update(
+                {int(n): float(cp) for n, cp in lst})
+
+    cs = CFG.code_samples
+    n_pairs = 0
+    deltas = []
+    for sat, ref_lst in ref_result["coph"].items():
+        mine = our_coph.get(sat, {})
+        for stream_no, ref_cp in ref_lst:
+            if stream_no in mine:
+                d = (mine[stream_no] - ref_cp + cs / 2) % cs - cs / 2
+                deltas.append(d)
+                n_pairs += 1
+    deltas = np.abs(np.array(deltas))
+    assert n_pairs >= 1000, f"only {n_pairs} comparable code phases"
+    med = float(np.median(deltas))
+    p99 = float(np.percentile(deltas, 99))
+    assert med < 0.15, f"median |dcp| {med:.3f} samples"
+    assert p99 < 0.5, f"p99 |dcp| {p99:.3f} samples"
+
+
+def test_fix_trajectories_agree(ref_result, ours):
+    session, _ = ours
+    scn = _scenario()
+    truth = scn.rec_ecef
+
+    ref_fixes = np.array(ref_result["fixes"], dtype=np.float64)
+    our_fixes = np.array([[p[0], p[1], p[2], p[3]]
+                          for p in session.evaluator.positions],
+                         dtype=np.float64)
+    assert len(ref_fixes) >= 100, f"reference produced {len(ref_fixes)} fixes"
+    assert len(our_fixes) >= 100, f"we produced {len(our_fixes)} fixes"
+
+    # absolute accuracy: both pipelines see the same capture-inherent
+    # scatter/bias (measured ~9.5 m mean for BOTH at this noise level
+    # and no carrier smoothing) — the differential claim below is the
+    # tight one
+    ref_err = np.linalg.norm(ref_fixes[:, 1:4] - truth, axis=1)
+    our_err = np.linalg.norm(our_fixes[:, 1:4] - truth, axis=1)
+    assert np.mean(ref_err) < 12.0, f"ref mean err {np.mean(ref_err):.2f}"
+    assert np.mean(our_err) < 12.0, f"our mean err {np.mean(our_err):.2f}"
+    assert np.mean(our_err) < np.mean(ref_err) + 1.0, (
+        "we are materially less accurate than the reference: "
+        f"{np.mean(our_err):.2f} vs {np.mean(ref_err):.2f} m")
+
+    # join epochs on the fix timestamp (both sides stamp POSIX seconds
+    # at N_CYC-ms granularity); measured: 735/736 common, median
+    # separation 0.13 m, p95 0.78 m, mean-position gap 0.20 m
+    ref_by_t = {round(t, 3): xyz for t, *xyz in ref_fixes}
+    our_by_t = {round(t, 3): xyz for t, *xyz in our_fixes}
+    common = sorted(set(ref_by_t) & set(our_by_t))
+    assert len(common) >= 0.9 * len(ref_by_t), (
+        f"only {len(common)} common epochs of {len(ref_by_t)}")
+    d = np.array([np.linalg.norm(np.subtract(ref_by_t[t], our_by_t[t]))
+                  for t in common])
+    assert np.median(d) < 1.0, f"median epoch separation {np.median(d):.2f} m"
+    assert np.percentile(d, 95) < 3.0, f"p95 separation " \
+                                       f"{np.percentile(d, 95):.2f} m"
+    assert np.linalg.norm(np.mean(ref_fixes[:, 1:4], axis=0)
+                          - np.mean(our_fixes[:, 1:4], axis=0)) < 1.0
