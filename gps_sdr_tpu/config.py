@@ -160,6 +160,18 @@ class ReceiverConfig:
     # -- front end --
     sample_rate_factor: int = 1000  # sample_rate = 1000 * code_samples
     sdr_freq_corr_ppm: float = 0.0  # oscillator correction, ppm
+    cw_excision: float = 0.0        # > 0 enables frequency-domain
+                                    # narrowband-interference excision
+                                    # on every tracking/acquisition
+                                    # block (ops/frontend.py
+                                    # excise_cw_block): bins above
+                                    # cw_excision * mean|X| are nulled.
+                                    # ~12 is a good threshold (clean
+                                    # GPS block spectra stay below
+                                    # ~8x mean; a PLL-capturing tone
+                                    # sits orders of magnitude above).
+                                    # 0 = off (reference-exact; the
+                                    # reference has no RFI defense)
 
     # -- device scheduling --
     use_pallas_kernels: bool | None = None

@@ -102,6 +102,19 @@ class SatScenario:
     #                                 the broadcast clock model — the
     #                                 classic integrity fault RAIM must
     #                                 catch (1 us = ~300 m of range)
+    multipath: tuple | None = None  # specular ray (delay_chips,
+    #                                 rel_amp, rel_phase_rad): a second
+    #                                 copy of the signal at +delay
+    #                                 chips of path, rel_amp relative
+    #                                 amplitude, and rel_phase of extra
+    #                                 carrier rotation ON TOP of the
+    #                                 physical -2*pi*L1*delta phase —
+    #                                 the dominant real-capture
+    #                                 impairment the reference's
+    #                                 test.bin demonstrably survives
+    #                                 (README.md:177-185) and the one
+    #                                 thing the clean oracle never
+    #                                 exercised
 
     def build_nav_stream(self, tow_first: int, n_subframes: int,
                          page_fields=None):
@@ -165,6 +178,14 @@ class Scenario:
     # plot displays motion but its only test input is a static rooftop
     # capture — a moving closed loop is new capability.
     rec_vel: np.ndarray | None = None
+    # Narrowband (CW) interference: tuple of (freq_hz, amplitude,
+    # phase0_rad) tones.  freq_hz is the tone's RF offset from L1; the
+    # shared-oscillator downconversion leaves baseband phase
+    # 2*pi*(f*t - L1*clock_err(t)), so tones ride the same LO error as
+    # the satellites.  Amplitude is in the same units as sat
+    # amplitudes (correlation processing gain over one code period is
+    # ~33 dB; a tone of amplitude 30 is ~ +30 dB J/S over a unit sat).
+    cw_tones: tuple = ()
 
     def rec_at(self, t):
         """Receiver ECEF position at GPS time(s) t: [..., 3]."""
@@ -252,7 +273,9 @@ def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
                   osc_ppm_rate: float = 0.0,
                   iono: bool | tuple = False, tropo: bool = False,
                   broadcast_almanac: bool = False,
-                  rec_vel_enu: tuple | None = None) -> Scenario:
+                  rec_vel_enu: tuple | None = None,
+                  multipath: dict | None = None,
+                  cw: tuple = ()) -> Scenario:
     """Build a scenario: receiver at `rec_geo` (default: the reference's
     golden-fix coordinates, README.md:185), `n_sats` visible satellites
     with randomized ephemerides, nav streams covering `duration_sec`.
@@ -265,7 +288,12 @@ def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
     broadcast_almanac=True cycles every satellite's almanac page through
     the subframe-5 slots (for warm-start acquisition tests).
     rec_vel_enu=(east, north, up) m/s moves the receiver at constant
-    velocity (rec_geo is the position at sample 0)."""
+    velocity (rec_geo is the position at sample 0).
+
+    multipath maps PRN (or the key "*" for every satellite) to a
+    specular-ray tuple (delay_chips, rel_amp, rel_phase_rad); cw is a
+    tuple of (freq_hz, amplitude, phase0_rad) narrowband interferers —
+    see SatScenario.multipath / Scenario.cw_tones."""
     rng = np.random.default_rng(seed)
     rec_ecef = np.array(geo_to_ecef(*rec_geo))
     t_rx0 = orbits.tsv_of_tow(tow0) + rx_start_offset
@@ -280,8 +308,12 @@ def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
     n_subframes = int(np.ceil(duration_sec / 6)) + 3
     for prn in prns:
         eph = random_visible_ephemeris(rec_ecef, tow0, week, rng)
+        mp = None
+        if multipath is not None:
+            mp = multipath.get(int(prn), multipath.get("*"))
         sats.append(SatScenario(prn=int(prn), eph=eph,
-                                amplitude=float(rng.uniform(0.7, 1.2))))
+                                amplitude=float(rng.uniform(0.7, 1.2)),
+                                multipath=mp))
 
     page18 = None
     if iono_alpha is not None:
@@ -314,7 +346,8 @@ def make_scenario(cfg: ReceiverConfig, n_sats: int = 6,
                     tow0=tow0, t_rx0=t_rx0, sats=sats,
                     osc_ppm=osc_ppm, osc_ppm_rate=osc_ppm_rate,
                     iono_alpha=iono_alpha, iono_beta=iono_beta,
-                    model_tropo=tropo, rec_vel=rec_vel)
+                    model_tropo=tropo, rec_vel=rec_vel,
+                    cw_tones=tuple(cw))
 
 
 def synth_scenario_blocks(scn: Scenario, first_block: int, n_blocks: int,
@@ -346,35 +379,57 @@ def synth_scenario_blocks(scn: Scenario, first_block: int, n_blocks: int,
     out = np.zeros(n, dtype=np.complex128)
     for sat in scn.sats:
         chips = ca_chips(sat.prn).astype(np.float64)
-        tau_k, tau_sv_k = scn.sat_states(knots, sat)
+        tau_k0, tau_sv_k0 = scn.sat_states(knots, sat)
         k_idx = np.arange(n) // knot_step
-        tau = tau_k[k_idx] * (1 - frac) + tau_k[k_idx + 1] * frac
-        tau_sv = tau_sv_k[k_idx] * (1 - frac) + tau_sv_k[k_idx + 1] * frac
-        # carrier: keep only the time-varying part of f*tau in the phase
-        # (constant offset is an arbitrary carrier phase) to preserve
-        # float64 precision.  The reference MUST be chunk-independent —
-        # referencing the chunk's own first knot would put a carrier
-        # phase jump at every chunk boundary of a chunked synthesis
-        # (tau varies < 1.5e-4 s over a scenario, so f*dtau stays well
-        # within float64 mod-1 precision)
         tau_ref = scn.sat_states(np.array([scn.t_rx0]), sat)[0][0]
-        # LO runs off the same oscillator: downconversion leaves the
-        # extra phase -2*pi*L1*clock_err on every satellite (the common
-        # Doppler offset, ~ -ppm*L1 Hz)
-        dtau = tau - tau_ref
-        phase = -2.0 * np.pi * np.mod(L1_FREQ * (dtau + ce_s), 1.0)
-        # code chip + nav bit indexed by SV clock time
-        ms = np.floor(tau_sv * 1000.0)
-        chip_idx = np.floor((tau_sv * 1000.0 - ms)
-                            * CA_CHIPS).astype(np.int64) % CA_CHIPS
-        bit_idx = np.floor(tau_sv * 1000.0 / BIT_MS).astype(np.int64) \
-            - sat.bit0
-        bits = sat.nav_stream[np.clip(bit_idx, 0,
-                                      len(sat.nav_stream) - 1)]
-        # cos/sin rather than np.exp(1j*x) — numpy complex exp is ~100x
-        # slower than separate real trig on some hosts
-        out += (sat.amplitude * bits * chips[chip_idx]
-                * (np.cos(phase) + 1j * np.sin(phase)))
+        # direct ray + optional specular multipath ray: the reflection
+        # travels delta = delay_chips/chip_rate seconds farther, so its
+        # chips/bits are OLDER (tau_sv - delta) and its carrier picks
+        # up the physical -2*pi*L1*delta plus the configured rel_phase
+        rays = [(0.0, 1.0, 0.0)]
+        if sat.multipath is not None:
+            d_chips, rel_amp, rel_phase = sat.multipath
+            rays.append((d_chips / (CA_CHIPS * 1000.0), rel_amp,
+                         rel_phase))
+        for delta, rel_amp, rel_phase in rays:
+            tau_k = tau_k0 + delta
+            tau_sv_k = tau_sv_k0 - delta
+            tau = tau_k[k_idx] * (1 - frac) + tau_k[k_idx + 1] * frac
+            tau_sv = (tau_sv_k[k_idx] * (1 - frac)
+                      + tau_sv_k[k_idx + 1] * frac)
+            # carrier: keep only the time-varying part of f*tau in the
+            # phase (constant offset is an arbitrary carrier phase) to
+            # preserve float64 precision.  The reference MUST be
+            # chunk-independent — referencing the chunk's own first
+            # knot would put a carrier phase jump at every chunk
+            # boundary of a chunked synthesis (tau varies < 1.5e-4 s
+            # over a scenario, so f*dtau stays well within float64
+            # mod-1 precision)
+            # LO runs off the same oscillator: downconversion leaves
+            # the extra phase -2*pi*L1*clock_err on every satellite
+            # (the common Doppler offset, ~ -ppm*L1 Hz)
+            dtau = tau - tau_ref
+            phase = (-2.0 * np.pi * np.mod(L1_FREQ * (dtau + ce_s), 1.0)
+                     + rel_phase)
+            # code chip + nav bit indexed by SV clock time
+            ms = np.floor(tau_sv * 1000.0)
+            chip_idx = np.floor((tau_sv * 1000.0 - ms)
+                                * CA_CHIPS).astype(np.int64) % CA_CHIPS
+            bit_idx = np.floor(tau_sv * 1000.0 / BIT_MS).astype(np.int64) \
+                - sat.bit0
+            bits = sat.nav_stream[np.clip(bit_idx, 0,
+                                          len(sat.nav_stream) - 1)]
+            # cos/sin rather than np.exp(1j*x) — numpy complex exp is
+            # ~100x slower than separate real trig on some hosts
+            out += (sat.amplitude * rel_amp * bits * chips[chip_idx]
+                    * (np.cos(phase) + 1j * np.sin(phase)))
+    # CW interference: phase 2*pi*(f*dt_nom - L1*clock_err) — the tone
+    # rides the same LO error as the satellites, and dt_nom is
+    # scenario-global so chunked synthesis stays phase-continuous
+    for f_hz, amp, ph0 in scn.cw_tones:
+        ph = (2.0 * np.pi * np.mod(f_hz * dt_nom[:-1] - L1_FREQ * ce_s, 1.0)
+              + ph0)
+        out += amp * (np.cos(ph) + 1j * np.sin(ph))
 
     out = out.reshape(n_blocks, cfg.ngps)
     if noise_std > 0:

@@ -98,10 +98,32 @@ class DeviceScenarioSynth:
     seed: int = 1
 
     def __post_init__(self):
-        self._chips = jnp.asarray(np.stack(
-            [ca_chips(s.prn) for s in self.scn.sats]).astype(np.float32))
-        self._amp = jnp.asarray(
-            [s.amplitude for s in self.scn.sats], jnp.float32)
+        # expand satellites into rays: direct path + optional specular
+        # multipath (SatScenario.multipath), plus CW interference tones
+        # (Scenario.cw_tones) which need no kernel support — a tone is
+        # just a ray with an all-ones chip table and zero chip rate
+        rays = []           # (sat | None, delta_s, rel_amp, rel_phase)
+        chip_rows = []
+        amps = []
+        from gps_sdr_tpu.config import CA_CHIP_RATE
+        for s in self.scn.sats:
+            rays.append((s, 0.0, 1.0, 0.0))
+            chip_rows.append(ca_chips(s.prn))
+            amps.append(s.amplitude)
+            if s.multipath is not None:
+                d_chips, rel_amp, rel_phase = s.multipath
+                rays.append((s, d_chips / CA_CHIP_RATE, rel_amp,
+                             rel_phase))
+                chip_rows.append(ca_chips(s.prn))
+                amps.append(s.amplitude * rel_amp)
+        for f_hz, amp, ph0 in getattr(self.scn, "cw_tones", ()):
+            rays.append((None, f_hz, 1.0, ph0))
+            chip_rows.append(np.ones(CA_CHIPS))
+            amps.append(amp)
+        self._rays = rays
+        self._chips = jnp.asarray(
+            np.stack(chip_rows).astype(np.float32))
+        self._amp = jnp.asarray(amps, jnp.float32)
 
     def _params(self, first_block: int, n_blocks: int):
         """Host: exact f64 knots -> f32 per-interval linearization."""
@@ -115,7 +137,7 @@ class DeviceScenarioSynth:
         dt_nom = (sample0 + np.arange(n_iv + 1) * cs) / fs
         ce_k = scn.clock_err(dt_nom)
         knots = scn.t_rx0 + dt_nom - ce_k
-        shape = (n_blocks, n_cyc, len(scn.sats))
+        shape = (n_blocks, n_cyc, len(self._rays))
         ph0 = np.empty(shape, np.float32)
         phr = np.empty(shape, np.float32)
         c0 = np.empty(shape, np.float32)
@@ -123,12 +145,37 @@ class DeviceScenarioSynth:
         ba = np.empty(shape, np.float32)
         bb = np.empty(shape, np.float32)
         bx = np.empty(shape, np.float32)
-        for si, sat in enumerate(scn.sats):
-            tau_k, tau_sv_k = scn.sat_states(knots, sat)
-            tau_ref = scn.sat_states(np.array([scn.t_rx0]), sat)[0][0]
+        states_cache: dict = {}
+        for si, (sat, delta, _rel_amp, rel_phase) in enumerate(self._rays):
+            if sat is None:
+                # CW tone: delta carries freq_hz, rel_phase is phase0;
+                # baseband phase 2*pi*(f*dt_nom - L1*clock_err) + ph0
+                cyc = delta * dt_nom - L1_FREQ * ce_k
+                p0 = 2.0 * np.pi * np.mod(cyc[:-1], 1.0) + rel_phase
+                pr = 2.0 * np.pi * (np.diff(cyc) / cs)
+                ph0[:, :, si] = p0.astype(np.float32).reshape(n_blocks,
+                                                              n_cyc)
+                phr[:, :, si] = pr.astype(np.float32).reshape(n_blocks,
+                                                              n_cyc)
+                c0[:, :, si] = 0.0
+                cr[:, :, si] = 0.0
+                ba[:, :, si] = 1.0
+                bb[:, :, si] = 1.0
+                bx[:, :, si] = cs + 1.0
+                continue
+            if sat.prn not in states_cache:
+                states_cache[sat.prn] = (
+                    scn.sat_states(knots, sat),
+                    scn.sat_states(np.array([scn.t_rx0]), sat)[0][0])
+            (tau_k0, tau_sv_k0), tau_ref = states_cache[sat.prn]
+            # a multipath ray is the same signal delta seconds farther:
+            # chips/bits older by delta, carrier picking up the
+            # physical -2*pi*L1*delta plus the configured rel_phase
+            tau_k = tau_k0 + delta
+            tau_sv_k = tau_sv_k0 - delta
             # carrier: -2*pi*L1*(tau - tau_ref + clock_err), continuous
             cyc = L1_FREQ * (tau_k - tau_ref + ce_k)
-            p0 = (-2.0 * np.pi) * np.mod(cyc[:-1], 1.0)
+            p0 = (-2.0 * np.pi) * np.mod(cyc[:-1], 1.0) + rel_phase
             pr = (-2.0 * np.pi) * (np.diff(cyc) / cs)
             # code: chips = tau_sv * 1023000 (mod 1023)
             chip_pos = tau_sv_k * (CA_CHIPS * 1000.0)
@@ -150,7 +197,7 @@ class DeviceScenarioSynth:
             x_ = ((bidx0 + 1) * BIT_SEC - tau_sv_k[:-1]) \
                 / np.maximum(dtau, 1e-12) * cs
             x_ = np.where(bidx1 > bidx0, x_, cs + 1.0)
-            ph0[:, :, si] = p0.reshape(n_blocks, n_cyc)
+            ph0[:, :, si] = p0.astype(np.float32).reshape(n_blocks, n_cyc)
             phr[:, :, si] = pr.reshape(n_blocks, n_cyc)
             c0[:, :, si] = cc0.reshape(n_blocks, n_cyc)
             cr[:, :, si] = ccr.reshape(n_blocks, n_cyc)

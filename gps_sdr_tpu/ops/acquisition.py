@@ -135,6 +135,13 @@ def acquire_all(cfg: ReceiverConfig, block: np.ndarray,
         dopplers = cfg.doppler_bins
     if isinstance(block, np.ndarray) and block.dtype != np.float32:
         block = to_f32_pairs(block)
+    block = jnp.asarray(block)
+    if cfg.cw_excision > 0:
+        # null narrowband interference before the grid search (same
+        # front-end defense the tracking chunk applies; frontend.py)
+        from gps_sdr_tpu.ops.frontend import excise_cw_block
+        block = jax.jit(excise_cw_block, static_argnums=1)(
+            block, cfg.cw_excision)
     res = acquire(cfg, jnp.asarray(block),
                   jnp.asarray(dopplers, dtype=np.float32),
                   jnp.asarray(to_f32_pairs(code_fft_table[np.asarray(prns)])))

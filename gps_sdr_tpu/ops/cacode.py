@@ -69,14 +69,28 @@ def first_chips_octal(prn: int, n: int = 10) -> int:
 def resample_code(chips: np.ndarray, code_samples: int) -> np.ndarray:
     """Resample 1023 chips to `code_samples` points.
 
-    Matches the reference semantics exactly (src/gpslib.py:62-77): each
-    chip is doubled (2046 points at x = 0..2045), then linearly
-    interpolated onto code_samples points spanning [0, 2045] inclusive.
+    At the reference rate (2048) this matches the reference semantics
+    exactly (src/gpslib.py:62-77): each chip is doubled (2046 points at
+    x = 0..2045), then linearly interpolated onto code_samples points
+    spanning [0, 2045] inclusive.
+
+    At other rates the chips are zero-order-held (sample n carries the
+    chip under it).  Stretching the reference's doubled-then-interpolate
+    formula to higher rates would smear every chip transition into a
+    ~code_samples/2046-sample linear ramp — measured at 16384: the
+    correlation apex flattens to a <1%%-per-sample dome, erasing the
+    fine code-phase precision the high-rate mode exists for.
     """
-    doubled = np.repeat(np.asarray(chips, dtype=DSP_FLOAT), 2)
-    x = np.arange(doubled.size, dtype=DSP_FLOAT)
-    xp = np.linspace(x[0], x[-1], code_samples, endpoint=True, dtype=DSP_FLOAT)
-    return np.interp(xp, x, doubled).astype(DSP_FLOAT)
+    chips = np.asarray(chips, dtype=DSP_FLOAT)
+    if code_samples == 2 * CA_CHIPS + 2:
+        doubled = np.repeat(chips, 2)
+        x = np.arange(doubled.size, dtype=DSP_FLOAT)
+        xp = np.linspace(x[0], x[-1], code_samples, endpoint=True,
+                         dtype=DSP_FLOAT)
+        return np.interp(xp, x, doubled).astype(DSP_FLOAT)
+    idx = (np.arange(code_samples, dtype=np.int64) * CA_CHIPS) \
+        // code_samples
+    return chips[idx]
 
 
 @functools.lru_cache(maxsize=None)

@@ -520,6 +520,10 @@ def track_chunk_impl(cfg: ReceiverConfig, states: ChannelState, blocks: Array,
     Returns final states (device-resident pytree; never transfer it
     directly) and per-block outputs stacked on axis 0.
     """
+    if cfg.cw_excision > 0:
+        from gps_sdr_tpu.ops import frontend
+        blocks = frontend.excise_cw_chunk(cfg, blocks)
+        cfg = cfg.replace(cw_excision=0.0)      # callers below see clean
     blocks = as_complex(blocks)
     code_ffts = as_complex(code_ffts)
     stream0 = jnp.asarray(stream_no0).astype(jnp.int32)
@@ -825,6 +829,10 @@ def track_chunk_batched_impl(cfg: ReceiverConfig, states: ChannelState,
     Same contract as track_chunk_impl; T must be divisible by
     cfg.blocks_per_step.  Outputs come back in stream order [T, C, ...].
     """
+    if cfg.cw_excision > 0:
+        from gps_sdr_tpu.ops import frontend
+        blocks = frontend.excise_cw_chunk(cfg, blocks)
+        cfg = cfg.replace(cw_excision=0.0)      # inner calls see clean
     k = cfg.blocks_per_step
     if k <= 1:
         return track_chunk_impl(cfg, states, blocks, stream_no0, codes,
