@@ -601,18 +601,27 @@ def main():
                              defer_subframe_poll=True,
                              epoch_per_window=True)
 
+        from gps_sdr_tpu.runtime.evaluator import process_many
+
         def serve_once(s_count, chunks):
             srv = StreamServer(cfg_sv, s_count)
             evs = [Evaluator(cfg_sv) for _ in range(s_count)]
             t0 = None
             n_ep = 0
-            # one epoch per window per stream; the first (warm) window
-            # of all streams is excluded from timing
+            # one epoch per window per stream, evaluated cross-stream
+            # batched (process_many: one orbit pass per window); the
+            # first (warm) window of all streams is excluded from
+            # timing
+            pend = []
             for s, epoch in srv.run(provider_sv, chunks):
-                evs[s].process(epoch)
+                pend.append((evs[s], epoch))
+                if len(pend) == s_count:
+                    process_many(pend)
+                    pend = []
                 n_ep += 1
                 if n_ep == s_count and t0 is None:
                     t0 = time.perf_counter()
+            process_many(pend)
             wall = time.perf_counter() - t0
             warm_c = min(w_sv, chunks - 1)
             sig = (chunks - warm_c) * t_sv * cfg.block_sec
@@ -634,11 +643,17 @@ def main():
         # aggregate-RTF / fixes-per-second curve vs stream count: where
         # does the single host thread cap the chip?  (VERDICT r2 #5)
         if want("servecurve"):
-            curve = {}
-            ch_c = max(2 * w_sv, n_chunks_sv // 2)
+            curve = {str(n_sv): {
+                "aggregate_rtf": stress[skey + "_aggregate_rtf"],
+                "fixes_per_sec": round(sum(fixes_sv) / wall_sv, 1),
+                "streams_with_fixes":
+                    stress[skey + "_streams_with_fixes"]}}
             for s_count in scale_s:
+                if s_count == n_sv:
+                    continue          # reuse the flagship measurement
                 try:
-                    wall_c, sig_c, evs_c = serve_once(s_count, ch_c)
+                    wall_c, sig_c, evs_c = serve_once(s_count,
+                                                      n_chunks_sv)
                     curve[str(s_count)] = {
                         "aggregate_rtf": round(
                             s_count * sig_c / wall_c, 1),

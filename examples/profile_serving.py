@@ -70,13 +70,20 @@ for _ in range(args.streams):          # warm: the first window
     s, epoch = next(it)
     evs[s].process(epoch)
 
+from gps_sdr_tpu.runtime.evaluator import process_many  # noqa: E402
+
 prof = cProfile.Profile()
 t0 = time.perf_counter()
 prof.enable()
 done = 0
+pend = []
 for s, epoch in it:
-    evs[s].process(epoch)
+    pend.append((evs[s], epoch))
+    if len(pend) == args.streams:      # cross-stream batched window
+        process_many(pend)
+        pend = []
     done += 1
+process_many(pend)
 prof.disable()
 wall = time.perf_counter() - t0
 sig = (n_chunks - min(w, n_chunks - 1)) * t_sv * cfg.block_sec

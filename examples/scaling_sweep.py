@@ -14,9 +14,20 @@ shards in both stitch modes and reports, per shard count:
     is the hardware-independent scaling model, validated by the
     accuracy numbers)
 
-Writes SCALING_r02.json at the repo root.
+Phase 2 (fix-level parity, VERDICT r2 #3): a boundary transient's real
+cost is a flipped bit edge -> a lost subframe -> a lost (TOW, ST)
+reference, which the tracking-output metrics above cannot see.  A
+30 s scenario capture (real nav message) is tracked sequentially and
+through the state-handoff stitch at 2/4/8 shards x several warmups;
+the SAME nav-decode + evaluator pipeline runs on both outputs and the
+rows report subframes decoded, fixes produced, fix error, and the
+per-epoch fix separation vs the sequential run.  The documented
+operating point is the smallest warmup with zero lost subframes.
+
+Writes SCALING_r03.json at the repo root.
 
 Usage: python examples/scaling_sweep.py [--blocks 64] [--warmup 4]
+       [--skip-fix-parity]
 """
 
 from __future__ import annotations
@@ -42,6 +53,8 @@ def main():
     ap.add_argument("--blocks", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=4)
     ap.add_argument("--channels", type=int, default=4)
+    ap.add_argument("--skip-fix-parity", action="store_true")
+    ap.add_argument("--fix-sec", type=float, default=30.0)
     args = ap.parse_args()
 
     import jax
@@ -132,6 +145,124 @@ def main():
             })
             print(rows[-1])
 
+    # ---- phase 2: fix-level parity through the stitched path ----
+    fix_rows = []
+    if not args.skip_fix_parity:
+        from gps_sdr_tpu.models.navmsg import NavDecoder
+        from gps_sdr_tpu.models.scenario import make_scenario
+        from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
+        from gps_sdr_tpu.ops.tracking import outs_to_numpy
+        from gps_sdr_tpu.runtime.evaluator import EpochInput, Evaluator
+
+        # multiple of 8 so every shard count divides the stream
+        fix_blocks = (int(round(args.fix_sec / cfg.block_sec)) // 8) * 8
+        scn = make_scenario(cfg, n_sats=6,
+                            duration_sec=args.fix_sec + 12.0, seed=2)
+        print(f"synthesizing {args.fix_sec:.0f} s scenario capture...")
+        dev = DeviceScenarioSynth(scn, noise_std=0.6)
+        fb = dev.chunk(0, fix_blocks)
+        fb = jnp.asarray(fb)
+        fprns = [s.prn for s in scn.sats]
+        fcodes = np.stack([tab[p] for p in fprns])
+        fffts = np.stack([ftab[p] for p in fprns])
+        ephs = {s.prn: {"SAT": s.prn, **s.eph} for s in scn.sats}
+
+        def ffresh():
+            st = init_channel_states(cfg, len(fprns))
+            # seed from truth: acquisition parity is covered elsewhere,
+            # this phase isolates the stitched TRACKING path
+            for i, s in enumerate(scn.sats):
+                ts = scn.t_rx0 + np.array([0.0, 1.0])
+                tau = scn.sat_states(ts, s)[0]
+                dop = -1575.42e6 * (tau[1] - tau[0])
+                delay = int((tau[0] * cfg.sample_rate) % cfg.code_samples)
+                st = reset_channel(st, i, s.prn, float(dop), delay, cfg)
+            return st
+
+        def decode_fix(outs_np):
+            """The receiver's own per-second decode + evaluate pipeline
+            on raw tracking outputs (mirrors Receiver._consume_chunk)."""
+            # absolute sample-time bit framing: the channel-relative
+            # ms_time counter restarts at stitched warmup seams and
+            # would break 20 ms framing at every shard boundary
+            decs = [NavDecoder(ngps=cfg.ngps,
+                               ms_from_st=cfg.code_samples)
+                    for _ in fprns]
+            ev = Evaluator(cfg, preloaded_ephem=ephs)
+            n_subs = 0
+            step = cfg.no_sec
+            tt = outs_np.code_phase.shape[0]
+            for c0 in range(0, tt, step):
+                sl = slice(c0, min(c0 + step, tt))
+                stream0 = 1 + c0
+                coph, frames = {}, []
+                for slot, prn in enumerate(fprns):
+                    decs[slot].push_chunk(
+                        outs_np.sign0[sl, slot], outs_np.edge_ms[sl, slot],
+                        outs_np.edge_local[sl, slot],
+                        outs_np.edge_valid[sl, slot],
+                        stream_no0=stream0, erased=outs_np.erased[sl, slot])
+                    cp = outs_np.code_phase[sl, slot]
+                    ok = np.nonzero(cp >= 0)[0]
+                    if ok.size:
+                        coph[prn] = list(zip(
+                            (stream0 + ok).tolist(),
+                            cp[ok].astype(float).tolist()))
+                    subs = (decs[slot].poll_subframes()
+                            if outs_np.locked[sl, slot][-1] else [])
+                    if not subs:
+                        subs = [{}]
+                    for sf in subs:
+                        if "ID" in sf:
+                            n_subs += 1
+                        sf["SAT"] = prn
+                        sf["FRQ"] = float(outs_np.freq[sl, slot][-1])
+                    frames += subs
+                ev.process(EpochInput(0, frames, coph))
+            pos = np.array([p[:4] for p in ev.positions], np.float64)
+            return n_subs, pos
+
+        rs, ro = track_chunk(cfg, ffresh(), fb, jnp.int32(1),
+                             jnp.asarray(fcodes), jnp.asarray(fffts))
+        jax.block_until_ready(ro.code_phase)
+        ref_subs, ref_pos = decode_fix(outs_to_numpy(ro))
+        ref_err = float(np.mean(np.linalg.norm(
+            ref_pos[:, 1:4] - scn.rec_ecef, axis=1))) if len(ref_pos) \
+            else float("nan")
+        print(f"sequential: {ref_subs} subframes, {len(ref_pos)} fixes, "
+              f"mean err {ref_err:.2f} m")
+        ref_by_t = {round(p[0], 3): p[1:4] for p in ref_pos}
+
+        for n_sh in (2, 4, 8):
+            for warm in (2, 4, 8):
+                mesh = make_mesh(8, time_shards=n_sh)
+                c_size = mesh.shape["ch"]
+                st0, cod, ff = pad_channels(ffresh(), fcodes, fffts,
+                                            c_size)
+                st, outs = track_sharded(cfg, mesh, st0, fb, jnp.int32(1),
+                                         cod, ff, warmup_blocks=warm)
+                outs = jax.tree.map(lambda x: x[:, :len(fprns)], outs)
+                jax.block_until_ready(outs.code_phase)
+                subs, pos = decode_fix(outs_to_numpy(outs))
+                err = float(np.mean(np.linalg.norm(
+                    pos[:, 1:4] - scn.rec_ecef, axis=1))) \
+                    if len(pos) else float("nan")
+                by_t = {round(p[0], 3): p[1:4] for p in pos}
+                common = sorted(set(ref_by_t) & set(by_t))
+                sep = (float(np.median([np.linalg.norm(
+                    np.subtract(ref_by_t[k], by_t[k])) for k in common]))
+                    if common else float("nan"))
+                fix_rows.append({
+                    "time_shards": n_sh, "warmup_blocks": warm,
+                    "mode": "state_handoff",
+                    "subframes": subs, "subframes_lost": ref_subs - subs,
+                    "fixes": len(pos), "fix_err_m": round(err, 2),
+                    "common_epochs": len(common),
+                    "median_sep_vs_sequential_m": (round(sep, 3)
+                                                   if common else None),
+                })
+                print(fix_rows[-1])
+
     doc = {
         "blocks": t, "channels": len(sats), "warmup_blocks": args.warmup,
         "note": ("wall times are from ONE burstable CPU core hosting all "
@@ -141,9 +272,15 @@ def main():
                  "ppermute (a few KB/channel over ICI) stays negligible "
                  "next to the per-shard scan"),
         "rows": rows,
+        "fix_parity": {
+            "sequential": ({"subframes": ref_subs, "fixes": len(ref_pos),
+                            "fix_err_m": round(ref_err, 2)}
+                           if fix_rows else None),
+            "rows": fix_rows,
+        },
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING_r02.json")
+        os.path.abspath(__file__))), "SCALING_r03.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"wrote {out}")

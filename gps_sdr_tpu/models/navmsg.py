@@ -367,6 +367,18 @@ class NavDecoder:
         default_factory=lambda: np.zeros(0, np.int8))
     bits_st: np.ndarray = field(
         default_factory=lambda: np.zeros(0, np.int64))
+    ms_from_st: int = 0
+    # > 0 (the code_samples length): frame bits from the edge's
+    # ABSOLUTE sample time (st // code_samples) instead of the
+    # channel's ms_time counter.  The two advance in lockstep within a
+    # contiguous scan (1 ms of satellite clock = one code period of
+    # samples; code Doppler moves the boundary < 0.2 samples/block and
+    # the r>17 rounding absorbs +-1), but ms_time is a RELATIVE counter
+    # that restarts wherever tracking state was respliced — in
+    # time-SHARDED tracking (parallel/tracking.py) the warmup seam
+    # makes it jump backward and the 20 ms framing dies at every shard
+    # boundary.  Sample time is absolute and shard-invariant, so this
+    # mode makes decode agnostic to how tracking was sharded.
 
     def erase(self):
         """Stream skip: drop edge/bit continuity (erasePrevData,
@@ -387,7 +399,10 @@ class NavDecoder:
         base = np.int64(stream_no) * self.ngps
         for ms, loc, ok in zip(edge_ms, edge_local, edge_valid):
             if ok:
-                self.edges.append((int(ms), base + int(loc)))
+                st = base + int(loc)
+                m = (st // self.ms_from_st if self.ms_from_st
+                     else int(ms))
+                self.edges.append((int(m), st))
 
     def push_chunk(self, sign0: np.ndarray, edge_ms: np.ndarray,
                    edge_local: np.ndarray, edge_valid: np.ndarray,
@@ -415,8 +430,9 @@ class NavDecoder:
                                              dtype=np.int64)
         st = t[:, None] * self.ngps + edge_local.astype(np.int64)
         sel = edge_valid.astype(bool)
-        self.edges.extend(zip(edge_ms[sel].astype(int).tolist(),
-                              st[sel].tolist()))
+        ms = (st[sel] // self.ms_from_st if self.ms_from_st
+              else edge_ms[sel].astype(np.int64))
+        self.edges.extend(zip(ms.tolist(), st[sel].tolist()))
 
     def _frame_bits(self) -> tuple[np.ndarray, np.ndarray]:
         """Edges -> logical bits with 20 ms framing and r>17 rounding

@@ -108,6 +108,13 @@ class SatRows:
     def __len__(self) -> int:
         return self.sat_no.shape[0]
 
+    def rows(self, a: int, b: int) -> "SatRows":
+        """Row-range view [a, b) — used to hand each stream its slice
+        of a cross-stream batched orbit pass (evaluator.process_many)."""
+        return SatRows(self.sat_no[a:b], self.tow[a:b], self.pos[a:b],
+                       self.t[a:b], self.week[a:b], self.cyc[a:b],
+                       self.sigma[a:b])
+
     @classmethod
     def empty(cls) -> "SatRows":
         z = np.zeros(0, np.int64)

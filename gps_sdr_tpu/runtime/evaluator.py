@@ -218,7 +218,24 @@ class Evaluator:
 
     def _eval_sats(self, frames: list, cpl: dict,
                    cfrq: dict | None = None):
-        gps_time = None
+        deferred, active = self._eval_sats_begin(frames, cpl, cfrq)
+        # ONE vectorized orbit propagation across all satellites' rows
+        sat_res = finish_deferred(deferred, self.cfg)
+        return sat_res, active, self._gps_time_of(sat_res)
+
+    def _gps_time_of(self, sat_res):
+        if not len(sat_res):
+            return None
+        tow, week, cyc = (int(sat_res.tow[0]), int(sat_res.week[0]),
+                          int(sat_res.cyc[0]))
+        return gps_datetime(tow, week) + datetime.timedelta(
+            seconds=cyc * self.cfg.n_cyc / 1000)
+
+    def _eval_sats_begin(self, frames: list, cpl: dict,
+                         cfrq: dict | None = None):
+        """Frame ingest + per-satellite code-phase walk, stopping just
+        before the orbit propagation — so a serving pool can batch THAT
+        across streams (process_many)."""
         for sf in frames:
             sat_no = sf.get("SAT")
             if sat_no is None:
@@ -255,14 +272,7 @@ class Evaluator:
             if d:
                 deferred.append(d)
                 active.add(sat_no)
-        # ONE vectorized orbit propagation across all satellites' rows
-        sat_res = finish_deferred(deferred, self.cfg)
-        if len(sat_res):
-            tow, week, cyc = (int(sat_res.tow[0]), int(sat_res.week[0]),
-                              int(sat_res.cyc[0]))
-            gps_time = gps_datetime(tow, week) + datetime.timedelta(
-                seconds=cyc * self.cfg.n_cyc / 1000)
-        return sat_res, active, gps_time
+        return deferred, active
 
     # -- atmospheric pseudorange corrections (no reference equivalent) --
 
@@ -681,13 +691,29 @@ class Evaluator:
 
     def process(self, epoch: EpochInput) -> dict:
         """Consume one reporting interval; returns a summary dict."""
+        stage = self.process_begin(epoch)
+        sat_res = finish_deferred(stage[1], self.cfg)
+        return self.process_finish(stage, sat_res)
+
+    def process_begin(self, epoch: EpochInput):
+        """Phase 1: frame ingest + code-phase walks, up to (but not
+        including) the orbit propagation.  Returns an opaque stage for
+        process_finish; the deferred bundles in stage[1] are what
+        process_many batches across streams."""
         if self.cfg.track_filter_q > 0 and self.tfilter is None:
             from gps_sdr_tpu.runtime.trackfilter import TrackFilter
             self.tfilter = TrackFilter(q_accel=self.cfg.track_filter_q)
         self.skipped_blocks += epoch.skipped_samples // self.cfg.ngps
         cpl = self._prep_code_phases(epoch.code_phases)
-        sat_res, active, gps_time = self._eval_sats(
+        deferred, active = self._eval_sats_begin(
             epoch.frames, cpl, epoch.carrier_freqs)
+        return (epoch, deferred, active)
+
+    def process_finish(self, stage, sat_res) -> dict:
+        """Phase 2: atmosphere/RAIM/fixes/velocity/statistics on the
+        propagated rows."""
+        epoch, _deferred, active = stage
+        gps_time = self._gps_time_of(sat_res)
         if self.cfg.iono_corr or self.cfg.tropo_corr:
             if self.warm_start is None and len(sat_res):
                 # bootstrap: one discarded uncorrected solve seeds the
@@ -758,3 +784,32 @@ class Evaluator:
             "filtered_pos": self.filtered[-1] if self.filtered else None,
             "dop": self.dop,
         }
+
+
+def process_many(pairs: list) -> list:
+    """Evaluate many independent streams' epochs with the orbit
+    propagation batched into ONE vectorized pass.
+
+    pairs: [(evaluator, epoch), ...] — one entry per stream (the
+    serving host path: StreamServer yields per-stream epochs, and S
+    per-stream evaluators sharing one Python thread each paid the fixed
+    numpy cost of their own small orbit batch; concatenating the rows
+    first amortizes it S-fold).  All evaluators must share the same
+    timing config (sample_rate / n_cyc).  Row-for-row identical to
+    calling ev.process(epoch) per pair: ecef_coord is elementwise, so
+    stacking streams changes nothing but the batch size
+    (tests/test_serving.py pins equality).
+    """
+    if not pairs:
+        return []
+    stages = [(ev, ev.process_begin(e)) for ev, e in pairs]
+    cfg = pairs[0][0].cfg
+    all_deferred = [d for _ev, st in stages for d in st[1]]
+    rows = finish_deferred(all_deferred, cfg)
+    out = []
+    i = 0
+    for ev, st in stages:
+        n = sum(len(d) for d in st[1])
+        out.append(ev.process_finish(st, rows.rows(i, i + n)))
+        i += n
+    return out

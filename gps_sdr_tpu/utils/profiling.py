@@ -135,7 +135,11 @@ def device_time_from_trace(log_dir: str) -> dict:
             if (ev.get("ph") == "M" and ev.get("name") == "process_name"
                     and "/host:CPU" in ev.get("args", {}).get("name", "")):
                 dev_pids.add(ev["pid"])
-    busy = 0.0
+    # a device pid carries several lanes (tids): compute steps, DMA,
+    # infeed...  Summing across lanes double-counts overlapped work
+    # (busy > span), so per-lane busy is accumulated and the busiest
+    # lane reported as the compute time.
+    lane_busy: dict = {}
     t0, t1 = None, None
     n = 0
     for ev in events:
@@ -144,10 +148,13 @@ def device_time_from_trace(log_dir: str) -> dict:
         ts, dur = ev.get("ts"), ev.get("dur")
         if ts is None or dur is None:
             continue
-        busy += dur
+        key = (ev.get("pid"), ev.get("tid"))
+        lane_busy[key] = lane_busy.get(key, 0.0) + dur
         t0 = ts if t0 is None else min(t0, ts)
         t1 = (ts + dur) if t1 is None else max(t1, ts + dur)
         n += 1
+    busy = max(lane_busy.values()) if lane_busy else 0.0
     return {"busy_s": busy / 1e6,
+            "busy_all_lanes_s": sum(lane_busy.values()) / 1e6,
             "span_s": ((t1 - t0) / 1e6 if t0 is not None else 0.0),
-            "n_ops": n, "lane": backend}
+            "n_ops": n, "n_lanes": len(lane_busy), "lane": backend}

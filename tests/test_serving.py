@@ -119,3 +119,40 @@ def test_stream_server_window_epochs_match_per_chunk():
             assert ka == kb
     assert any("ID" in f for eps in got_w.values()
                for e in eps for f in e.frames)
+
+
+def test_process_many_matches_per_stream():
+    """Cross-stream batched evaluation (evaluator.process_many) must be
+    row-for-row identical to per-stream Evaluator.process — same
+    positions, stats, sat_results — because ecef_coord is elementwise
+    and stacking streams only grows the batch."""
+    from gps_sdr_tpu.models.scenario import make_scenario as mk
+    from gps_sdr_tpu.runtime.evaluator import Evaluator, process_many
+    from gps_sdr_tpu.runtime.receiver import Receiver
+
+    sec = 20.0
+    scn = mk(CFG, n_sats=6, duration_sec=sec + 12.0, seed=4)
+    dev = DeviceScenarioSynth(scn, noise_std=0.5)
+    t = CFG.no_sec
+    n_chunks = int(round(sec / (t * CFG.block_sec)))
+    ephs = {s.prn: {"SAT": s.prn, **s.eph} for s in scn.sats}
+
+    rec = Receiver(CFG)
+    epochs = list(rec.run_device(dev.chunk_planar, n_chunks))
+    assert len(epochs) >= 3
+
+    # 3 "streams" with identical inputs: per-stream sequential vs
+    # batched must agree element-for-element
+    seq = [Evaluator(CFG, preloaded_ephem=dict(ephs)) for _ in range(3)]
+    bat = [Evaluator(CFG, preloaded_ephem=dict(ephs)) for _ in range(3)]
+    for e in epochs:
+        for ev in seq:
+            ev.process(e)
+        process_many([(ev, e) for ev in bat])
+
+    assert len(seq[0].positions) > 0
+    for a, b in zip(seq, bat):
+        assert a.positions == b.positions
+        assert a.sat_results == b.sat_results
+        assert a.fix_failures == b.fix_failures
+        assert len(a.velocities) == len(b.velocities)
