@@ -1,0 +1,151 @@
+"""Roofline accounting for the hot tracking path (VERDICT r2 #8).
+
+"Is it actually fast" needs a denominator.  This script traces the
+production K-fused tracking step (12 channels, product shapes) with
+jax.profiler, reads EXACT per-op device times from the trace (wall
+through the shared tunnel swings +-60 ms; trace times don't), buckets
+them into the pipeline's stages, and compares against the hardware
+bounds:
+
+  * HBM floor: the IQ block (planar f32, 2*ngps*4 B = 512 KB/block)
+    must stream from HBM at least once.  At the measured ~817 GB/s
+    (examples/probe_* round-1 measurement) that is ~0.64 us/block —
+    the speed-of-light for any implementation of this receiver.
+  * MXU bound: the DFT-correlation's matmuls (ops/dft.py four-step
+    CT factorization) and the wipeoff contraction carry the FLOPs;
+    their achieved utilization vs the chip's bf16 peak says how much
+    kernel headroom remains.
+
+Writes ROOFLINE_r03.json and prints the table.
+
+Usage: python examples/roofline.py [--k 16] [--blocks 2048] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--blocks", type=int, default=2048)
+    ap.add_argument("--channels", type=int, default=12)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--hbm-gbps", type=float, default=817.0,
+                    help="measured HBM bandwidth (round-1 probe)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from gps_sdr_tpu.utils.profiling import (device_time_from_trace,
+                                             enable_compile_cache,
+                                             op_breakdown_from_trace,
+                                             trace)
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from gps_sdr_tpu.config import ReceiverConfig
+    from gps_sdr_tpu.models.simulator import SatSignal, random_bits
+    from gps_sdr_tpu.models.sim_jax import JaxSynth
+    from gps_sdr_tpu.ops import cacode
+    from gps_sdr_tpu.ops.tracking import (init_channel_states,
+                                          reset_channel, to_f32_pairs,
+                                          track_chunk_batched)
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = ReceiverConfig(max_sat=args.channels, blocks_per_step=args.k,
+                         use_pallas_kernels=on_tpu,
+                         use_pallas_cheap=on_tpu)
+    rng = np.random.default_rng(0)
+    prns = rng.choice(np.arange(2, 33), args.channels, replace=False)
+    sats = [SatSignal(prn=int(p), doppler=float(rng.uniform(-4500, 4500)),
+                      code_delay=float(rng.uniform(0, cfg.code_samples)),
+                      nav_bits=random_bits(4096, seed=i))
+            for i, p in enumerate(prns)]
+    synth = JaxSynth(cfg, sats, noise_std=0.7, seed=1)
+    tab, ftab = cacode.ca_table(cfg), cacode.ca_fft_table(cfg)
+    codes = jnp.asarray(np.stack([tab[s.prn] for s in sats]))
+    ffts = jnp.asarray(to_f32_pairs(np.stack([ftab[s.prn]
+                                              for s in sats])))
+
+    def fresh():
+        st = init_channel_states(cfg, args.channels)
+        for i, s in enumerate(sats):
+            st = reset_channel(st, i, s.prn, s.doppler,
+                               int(s.code_delay) % cfg.code_samples, cfg)
+        return st
+
+    t = args.blocks
+    blk = synth.chunk_planar(0, t)
+
+    def run():
+        st, outs = track_chunk_batched(cfg, fresh(), blk, jnp.float32(1),
+                                       codes, ffts)
+        float(np.asarray(jnp.sum(outs.code_phase
+                                 .astype(jnp.float32))))
+
+    run()                                    # compile + warm
+    run()
+    tdir = tempfile.mkdtemp(prefix="roofline_")
+    with trace(tdir):
+        run()
+    dev = device_time_from_trace(tdir)
+    ops = op_breakdown_from_trace(tdir, top=18)
+    shutil.rmtree(tdir, ignore_errors=True)
+
+    busy_us_per_block = dev["busy_s"] / t * 1e6
+    sig_sec = t * cfg.block_sec
+    rtf_device = sig_sec / dev["busy_s"] if dev["busy_s"] else None
+
+    # hardware bounds
+    block_bytes = 2 * cfg.ngps * 4                       # planar f32 IQ
+    hbm_floor_us = block_bytes / (args.hbm_gbps * 1e9) * 1e6
+    achieved_gbps = block_bytes / (busy_us_per_block * 1e-6) / 1e9 \
+        if busy_us_per_block else None
+
+    doc = {
+        "k": args.k, "channels": args.channels, "blocks": t,
+        "backend": jax.default_backend(),
+        "device_busy_us_per_block": round(busy_us_per_block, 2),
+        "device_rtf": round(rtf_device, 1) if rtf_device else None,
+        "lane": dev["lane"], "n_ops": dev["n_ops"],
+        "hbm_floor_us_per_block": round(hbm_floor_us, 3),
+        "headroom_vs_hbm_floor": round(
+            busy_us_per_block / hbm_floor_us, 1),
+        "iq_stream_achieved_gbps": (round(achieved_gbps, 1)
+                                    if achieved_gbps else None),
+        "hbm_gbps_measured": args.hbm_gbps,
+        "note": ("headroom_vs_hbm_floor is the factor between the "
+                 "achieved per-block device time and the time to "
+                 "stream the IQ block from HBM once — the remaining "
+                 "gap is MXU DFT work + the issue-bound cheap stage, "
+                 "see top_ops"),
+        "top_ops": [{"name": n[:90], "total_ms": round(s * 1e3, 2),
+                     "count": c, "pct": round(100 * s / dev["busy_s"], 1)}
+                    for n, s, c in ops],
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ROOFLINE_r03.json")
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({k: v for k, v in doc.items() if k != "top_ops"},
+                     indent=1))
+    for o in doc["top_ops"]:
+        print(f"  {o['pct']:5.1f}%  {o['total_ms']:8.2f} ms  x{o['count']:<6} {o['name']}")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

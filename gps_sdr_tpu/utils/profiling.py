@@ -158,3 +158,50 @@ def device_time_from_trace(log_dir: str) -> dict:
             "busy_all_lanes_s": sum(lane_busy.values()) / 1e6,
             "span_s": ((t1 - t0) / 1e6 if t0 is not None else 0.0),
             "n_ops": n, "n_lanes": len(lane_busy), "lane": backend}
+
+
+def op_breakdown_from_trace(log_dir: str, top: int = 20) -> list:
+    """Per-op device-time totals from the busiest device lane of the
+    newest trace under `log_dir`: [(op_name, total_s, count), ...]
+    sorted by total time.  The op names are XLA/Mosaic fusion labels —
+    coarse, but enough to attribute block time to wipeoff / DFT /
+    cheap-stage buckets for the roofline."""
+    import glob
+    import gzip
+    import json as _json
+    from collections import defaultdict
+
+    paths = sorted(glob.glob(os.path.join(
+        log_dir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime)
+    if not paths:
+        raise FileNotFoundError(f"no trace under {log_dir}")
+    with gzip.open(paths[-1], "rt") as f:
+        doc = _json.load(f)
+    events = doc["traceEvents"]
+    dev_pids = set()
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            name = ev.get("args", {}).get("name", "")
+            if "TPU" in name or "GPU" in name or "/device:" in name \
+                    or "/host:CPU" in name:
+                dev_pids.add(ev["pid"])
+    lane_busy: dict = {}
+    for ev in events:
+        if ev.get("ph") == "X" and ev.get("pid") in dev_pids \
+                and ev.get("dur") is not None:
+            key = (ev["pid"], ev.get("tid"))
+            lane_busy[key] = lane_busy.get(key, 0.0) + ev["dur"]
+    if not lane_busy:
+        return []
+    best = max(lane_busy, key=lane_busy.get)
+    ops = defaultdict(lambda: [0.0, 0])
+    for ev in events:
+        if (ev.get("ph") == "X" and (ev.get("pid"), ev.get("tid")) == best
+                and ev.get("dur") is not None):
+            o = ops[ev.get("name", "?")]
+            o[0] += ev["dur"] / 1e6
+            o[1] += 1
+    out = sorted(((k, v[0], v[1]) for k, v in ops.items()),
+                 key=lambda x: -x[1])
+    return out[:top]
