@@ -15,7 +15,29 @@ import numpy as np
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libgstingest.so")
 
-_lib = ctypes.CDLL(_LIB_PATH)  # raises OSError if not built (callers gate)
+
+def _load() -> ctypes.CDLL:
+    """Load the library, building it on first use (a fresh checkout has
+    no .so — it's a build artifact).  Raise ImportError rather than
+    OSError so `pytest.importorskip` and the numpy-fallback gates in
+    sources.py/buffer.py behave."""
+    try:
+        return ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        pass
+    import subprocess
+    csrc = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+    try:
+        subprocess.run(["make", "-C", csrc], check=True,
+                       capture_output=True, timeout=120)
+        return ctypes.CDLL(_LIB_PATH)
+    except Exception as e:
+        raise ImportError(
+            f"native ingest library unavailable (build: {e}); "
+            f"run `make -C csrc`") from e
+
+
+_lib = _load()
 
 _lib.gst_unpack_iq.argtypes = [
     ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_float),
