@@ -415,6 +415,13 @@ class Receiver:
                                               window=True)[0]
                 n -= 1
 
+        # stream numbering continues from wherever this receiver left
+        # off (base = 0 for a fresh receiver; a checkpoint-resumed
+        # receiver keeps counting, or its decoders/pseudorange engines
+        # would see stream numbers jump backward and silently discard
+        # every subsequent code phase — the provider's `first` stays
+        # relative to THIS call)
+        base = self.status.stream_no
         for ci in range(n_chunks):
             if self._stop:
                 break
@@ -429,7 +436,7 @@ class Receiver:
                 blk0 = _download_block(blocks_dev, 0)
                 self._serve_sweep_all(blk0)
             chunk = _DeviceChunk(blocks_dev)
-            self.status.stream_no = first
+            self.status.stream_no = base + first
             outs_dev, stream0 = self._dispatch_chunk(chunk)
             held.append((chunk,
                          pack_outs_compact(outs_dev, cap,

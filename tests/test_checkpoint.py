@@ -181,3 +181,49 @@ def test_resume_with_full_feature_state(tmp_path):
     assert s2.evaluator.iono_params == ref.evaluator.iono_params
     assert np.isclose(s2.evaluator.clock_rate_est,
                       ref.evaluator.clock_rate_est)
+
+
+def test_device_path_resume_continues_fixes(tmp_path):
+    """Checkpoint/resume through run_device: the resumed receiver must
+    keep producing fixes.  Regression: run_device reset stream_no to
+    the chunk index, so a resumed receiver's stream numbers jumped
+    backward and the pseudorange engines silently discarded every
+    later code phase (found by the 2 h soak: exactly half the fixes)."""
+    import numpy as np
+
+    from gps_sdr_tpu.models.scenario import make_scenario
+    from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
+    from gps_sdr_tpu.runtime.session import Session
+
+    cfg = ReceiverConfig(download_windows_in_flight=2,
+                         chunks_per_download=4,
+                         defer_subframe_poll=True, epoch_per_window=True)
+    sig = 56.0
+    n_chunks = int(round(sig / (cfg.no_sec * cfg.block_sec)))
+    scn = make_scenario(cfg, n_sats=6, duration_sec=sig + 12.0, seed=4)
+    dev = DeviceScenarioSynth(scn, noise_std=0.5)
+
+    def provider(off):
+        t = cfg.no_sec
+        return lambda first, n: dev.chunk_planar(off * t + first, n)
+
+    half = n_chunks // 2
+    path = str(tmp_path / "dev_ckpt.pkl")
+    s1 = Session(cfg)
+    # preloaded ephemerides: fixes need only a decoded time reference
+    # (~13 s), so both halves of the short capture produce them
+    s1.evaluator.preloaded_ephem.update(
+        {s.prn: {"SAT": s.prn, **s.eph} for s in scn.sats})
+    s1.run_device_source(provider(0), half)
+    n_half = len(s1.evaluator.positions)
+    assert n_half > 0, "no fixes before the checkpoint"
+    save_session(s1, path)
+
+    s2 = load_session(path)
+    s2.run_device_source(provider(half), n_chunks - half)
+    pos = np.array(s2.evaluator.positions)
+    assert len(pos) > 1.5 * n_half, (
+        f"resumed half added too few fixes: {n_half} -> {len(pos)}")
+    t_rel = pos[:, 0] - pos[0, 0]
+    late = int((t_rel > 0.6 * t_rel[-1]).sum())
+    assert late > 0.2 * len(pos), "no fixes in the resumed segment"
