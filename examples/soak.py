@@ -127,6 +127,11 @@ def main():
         "signal_sec": sig_sec,
         "wall_sec": round(wall, 1),
         "rtf": round(sig_sec / wall, 1),
+        "note": ("wall is dominated by the per-chunk host-side synth "
+                 "parameterization (DeviceScenarioSynth._params, f64 "
+                 "orbits on the 1-core host), not the receiver — "
+                 "full_loop_rtf in BENCH_r03 measures the receiver "
+                 "from a pre-synthesized device buffer"),
         "k": args.k,
         "backend": jax.default_backend(),
         "features": "carrier_smoothing=16 track_filter raim",
