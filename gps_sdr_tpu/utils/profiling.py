@@ -135,11 +135,12 @@ def device_time_from_trace(log_dir: str) -> dict:
             if (ev.get("ph") == "M" and ev.get("name") == "process_name"
                     and "/host:CPU" in ev.get("args", {}).get("name", "")):
                 dev_pids.add(ev["pid"])
-    # a device pid carries several lanes (tids): compute steps, DMA,
-    # infeed...  Summing across lanes double-counts overlapped work
-    # (busy > span), so per-lane busy is accumulated and the busiest
-    # lane reported as the compute time.
-    lane_busy: dict = {}
+    # a device pid carries several lanes (tids) and nested events
+    # (e.g. a scan's `while` wrapper encloses its per-iteration ops on
+    # the same lane) — plain duration sums double-count both ways.
+    # Busy time is therefore the INTERVAL UNION per lane, and the
+    # busiest lane is reported as the compute time.
+    lane_iv: dict = {}
     t0, t1 = None, None
     n = 0
     for ev in events:
@@ -148,11 +149,27 @@ def device_time_from_trace(log_dir: str) -> dict:
         ts, dur = ev.get("ts"), ev.get("dur")
         if ts is None or dur is None:
             continue
-        key = (ev.get("pid"), ev.get("tid"))
-        lane_busy[key] = lane_busy.get(key, 0.0) + dur
+        lane_iv.setdefault((ev.get("pid"), ev.get("tid")),
+                           []).append((ts, ts + dur))
         t0 = ts if t0 is None else min(t0, ts)
         t1 = (ts + dur) if t1 is None else max(t1, ts + dur)
         n += 1
+
+    def union(iv):
+        iv.sort()
+        tot, cur0, cur1 = 0.0, None, None
+        for a, b in iv:
+            if cur1 is None or a > cur1:
+                if cur1 is not None:
+                    tot += cur1 - cur0
+                cur0, cur1 = a, b
+            else:
+                cur1 = max(cur1, b)
+        if cur1 is not None:
+            tot += cur1 - cur0
+        return tot
+
+    lane_busy = {k: union(v) for k, v in lane_iv.items()}
     busy = max(lane_busy.values()) if lane_busy else 0.0
     return {"busy_s": busy / 1e6,
             "busy_all_lanes_s": sum(lane_busy.values()) / 1e6,
@@ -180,12 +197,16 @@ def op_breakdown_from_trace(log_dir: str, top: int = 20) -> list:
         doc = _json.load(f)
     events = doc["traceEvents"]
     dev_pids = set()
+    host_pids = set()
     for ev in events:
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             name = ev.get("args", {}).get("name", "")
-            if "TPU" in name or "GPU" in name or "/device:" in name \
-                    or "/host:CPU" in name:
+            if "TPU" in name or "GPU" in name or "/device:" in name:
                 dev_pids.add(ev["pid"])
+            elif "/host:CPU" in name:
+                host_pids.add(ev["pid"])
+    if not dev_pids:
+        dev_pids = host_pids          # CPU backend fallback only
     lane_busy: dict = {}
     for ev in events:
         if ev.get("ph") == "X" and ev.get("pid") in dev_pids \
