@@ -40,7 +40,9 @@ BIT_SEC = 0.020
 
 @jax.jit
 def _to_complex(planar):
-    return jax.lax.complex(planar[..., 0, :], planar[..., 1, :])
+    """Grouped planar [T, 2, n_cyc, cs] -> complex64 [T, ngps]."""
+    c = jax.lax.complex(planar[..., 0, :, :], planar[..., 1, :, :])
+    return c.reshape(c.shape[:-2] + (-1,))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -51,7 +53,7 @@ def _synth_chunk_dev(cfg: ReceiverConfig, chips, params, amp, noise_std,
     chips: f32[S, 1023]; params f32[7, B, n_cyc, S] stacked
     (phase0, phase_rate, c0, crate, bit_a, bit_b, bit_x) — ONE array
     because every host->device upload pays the tunnel's fixed ~30-60 ms
-    round trip; amp f32[S]; returns planar f32[B, 2, ngps].
+    round trip; amp f32[S]; returns grouped planar f32[B, 2, n_cyc, cs].
     """
     (phase0, phase_rate, c0, crate, bit_a, bit_b, bit_x) = params
     cs = cfg.code_samples
@@ -76,15 +78,17 @@ def _synth_chunk_dev(cfg: ReceiverConfig, chips, params, amp, noise_std,
                               in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
         flat(phase0), flat(phase_rate), flat(c0), flat(crate),
         flat(bit_a), flat(bit_b), flat(bit_x), amp, chips)
-    out = jnp.stack([seg_re.reshape(b, n_cyc * cs),
-                     seg_im.reshape(b, n_cyc * cs)], axis=1)  # [b, 2, n]
+    # grouped planar [b, 2, n_cyc, cs]: the canonical on-device chunk
+    # layout (no downstream retile into the Pallas tracking kernel)
+    out = jnp.stack([seg_re.reshape(b, n_cyc, cs),
+                     seg_im.reshape(b, n_cyc, cs)], axis=1)
 
     key = jax.random.fold_in(jax.random.PRNGKey(0),
                              seed0.astype(jnp.int32))
     keys = jax.random.split(key, b)
     noise = jax.vmap(lambda kk: jnp.stack(
-        [jax.random.normal(kk, (n_cyc * cs,), jnp.float32),
-         jax.random.normal(jax.random.fold_in(kk, 1), (n_cyc * cs,),
+        [jax.random.normal(kk, (n_cyc, cs), jnp.float32),
+         jax.random.normal(jax.random.fold_in(kk, 1), (n_cyc, cs),
                            jnp.float32)]))(keys)
     return (out + noise_std * noise).astype(jnp.float32)
 
@@ -207,8 +211,9 @@ class DeviceScenarioSynth:
         return ph0, phr, c0, cr, ba, bb, bx
 
     def chunk_planar(self, first_block: int, n_blocks: int) -> jax.Array:
-        """planar f32[n_blocks, 2, ngps] re/im on device (preferred for
-        the Pallas tracking path)."""
+        """Grouped planar f32[n_blocks, 2, n_cyc, cs] re/im on device
+        (the canonical chunk layout; feeds the Pallas tracking path
+        with no retile)."""
         p = np.stack(self._params(first_block, n_blocks))
         seed0 = np.float32((self.seed * 7919 + first_block) % 8_388_608)
         return _synth_chunk_dev(

@@ -29,7 +29,9 @@ MAX_BITS = 2048     # nav bit window uploaded per satellite
 
 @jax.jit
 def _to_complex(planar):
-    return jax.lax.complex(planar[..., 0, :], planar[..., 1, :])
+    """Grouped planar [T, 2, n_cyc, cs] -> complex64 [T, ngps]."""
+    c = jax.lax.complex(planar[..., 0, :, :], planar[..., 1, :, :])
+    return c.reshape(c.shape[:-2] + (-1,))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -106,7 +108,11 @@ def _synth_block(cfg: ReceiverConfig, codes, nav_bits, amp, pos0, pos_rate,
     noise = jnp.stack([
         jax.random.normal(key, (n,), jnp.float32),
         jax.random.normal(jax.random.fold_in(key, 1), (n,), jnp.float32)])
-    return (out + noise_std * noise).astype(jnp.float32)
+    # grouped planar [2, n_cyc, cs]: written in the layout the Pallas
+    # tracking kernel consumes, so no full-chunk retile ever happens
+    # downstream (the reshape fuses into this jit's output write)
+    return (out + noise_std * noise).astype(jnp.float32).reshape(
+        2, cfg.n_cyc, cs)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -180,10 +186,11 @@ class JaxSynth:
 
     def chunk_planar(self, first_block: int, n_blocks: int) -> jax.Array:
         """Generate blocks [first_block, first_block + n_blocks) in ONE
-        device call; planar f32[n_blocks, 2, ngps] re/im — the preferred
-        layout for the Pallas tracking path (no complex-emulation
-        custom calls).  Batch-per-call matters: the deployment tunnel
-        has seconds of per-call latency."""
+        device call; GROUPED planar f32[n_blocks, 2, n_cyc, cs] re/im —
+        the canonical on-device chunk layout (tiles straight onto the
+        Pallas tracking kernel's blocks; no complex-emulation custom
+        calls, no retile).  Batch-per-call matters: the deployment
+        tunnel has seconds of per-call latency."""
         idx = np.arange(first_block, first_block + n_blocks)
         origins = np.stack(self._origins(idx))
         seeds = ((self.seed * 9973 + idx) % 8_388_608).astype(np.float32)

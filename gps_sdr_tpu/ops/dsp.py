@@ -38,6 +38,10 @@ def as_complex_input(x: Array) -> Array:
         return jax.lax.complex(x[..., 0], x[..., 1])
     if x.ndim >= 2 and x.shape[-2] == 2:
         return jax.lax.complex(x[..., 0, :], x[..., 1, :])
+    if x.ndim >= 3 and x.shape[-3] == 2:
+        # grouped planar f32[..., 2, n_cyc, cs]: merge the period axes
+        c = jax.lax.complex(x[..., 0, :, :], x[..., 1, :, :])
+        return c.reshape(c.shape[:-2] + (-1,))
     raise ValueError(f"not an IQ layout: {x.dtype}{x.shape}")
 
 
@@ -45,6 +49,32 @@ def is_planar_input(x: Array) -> bool:
     """True for the f32[..., 2, N] planar re/im IQ layout."""
     return (not jnp.issubdtype(x.dtype, jnp.complexfloating)
             and x.ndim >= 2 and x.shape[-1] != 2 and x.shape[-2] == 2)
+
+
+def is_grouped_iq(cfg, x: Array) -> bool:
+    """True for the grouped planar f32[..., 2, n_cyc, cs] IQ layout.
+
+    This is the canonical ON-DEVICE chunk layout: the last two dims
+    (n_cyc, cs) tile perfectly onto the TPU's (8, 128) vregs, whereas
+    the flat [..., 2, ngps] form pads its 2-row sublane dim 4x and
+    costs a full-chunk retile the moment the Pallas tracking kernel
+    needs (n_cyc, cs) blocks (measured 20.6% of tracking device time,
+    ROOFLINE_r03 reshape.273).  The shape test is exact against the
+    config, so a flat [T=2, 2, ngps] chunk can never be mistaken for
+    grouped (ngps = n_cyc*cs > cs always).
+    """
+    return (not jnp.issubdtype(x.dtype, jnp.complexfloating)
+            and x.ndim >= 3
+            and x.shape[-3:] == (2, cfg.n_cyc, cfg.code_samples))
+
+
+def flatten_iq(cfg, x: Array) -> Array:
+    """Grouped planar [..., 2, n_cyc, cs] -> flat planar [..., 2, ngps]
+    (identity for anything else).  A real retile on TPU — keep off hot
+    paths; the tracking kernels consume grouped natively."""
+    if is_grouped_iq(cfg, x):
+        return x.reshape(x.shape[:-2] + (cfg.ngps,))
+    return x
 
 
 def doppler_mix(data: Array, freq: Array, phase: Array,

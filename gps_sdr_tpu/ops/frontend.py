@@ -177,10 +177,16 @@ def excise_cw_block(block, threshold: float):
 
 def excise_cw_chunk(cfg, stacked):
     """vmap excise_cw_block over a [T, ...] tracking chunk, preserving
-    the input layout (complex [T, n] or planar f32 [T, 2, n])."""
+    the input layout (complex [T, n], planar f32 [T, 2, n], or grouped
+    planar f32 [T, 2, n_cyc, cs])."""
+    from gps_sdr_tpu.ops.dsp import is_grouped_iq
+
     planar = (not jnp.issubdtype(stacked.dtype, jnp.complexfloating))
+    grouped = is_grouped_iq(cfg, stacked)
     out = jax.vmap(
         lambda b: excise_cw_block(b, cfg.cw_excision))(stacked)
     if planar:
         out = jnp.stack([jnp.real(out), jnp.imag(out)], axis=1)
+        if grouped:
+            out = out.reshape(stacked.shape)
     return out

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gps_sdr_tpu.config import ReceiverConfig
-from gps_sdr_tpu.ops import dsp
+from gps_sdr_tpu.ops import corr, dsp
 
 Array = jax.Array
 
@@ -168,10 +168,10 @@ def mix_wipeoff(cfg: ReceiverConfig, k: int, params: Array, delays: Array,
     )(params, delays, blocks2, codes)
 
 
-def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
-                        delays_ref, rotrow_ref, rotcol_ref, g_ref,
-                        cqsq_ref, block_ref, codes_ref,
-                        center_ref, sums_ref, c0s0_ref, wt_ref):
+def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, step_ref,
+                        params_ref, delays_ref, rotrow_ref, rotcol_ref,
+                        g_ref, cqsq_ref, block_ref, codes_ref,
+                        cre_ref, cim_ref, sums_ref, c0s0_ref, wt_ref):
     """MXU formulation of mix + code wipeoff, one grid step per block.
 
     The per-sample oscillator factorizes exactly: with j = q*cs + i,
@@ -187,6 +187,12 @@ def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
     are two MXU passes over the block (~1 M VPU ops/block).
 
     inputs (per grid step b):
+      step   scalar-prefetch i32[1]: which K-block step of the FULL
+             chunk this call processes — the block DMA indexes
+             blocks[step*k + b] directly from the chunk in HBM, so the
+             caller's scan never materializes a per-step K-block slice
+             (the XLA dynamic-slice it replaces was ~8% of tracking
+             device time, ROOFLINE_r03.json constant_dynamic-slice)
       params SMEM f32[C, 4] (s, phase0, snp, delay0 — delay0
              unused, kept for layout; masks/rolls use delays_ref)
       delays SMEM i32[C, k]  per-block wipeoff delays
@@ -197,7 +203,11 @@ def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
       block  VMEM f32[1, 2, n_cyc, cs]
       codes  VMEM f32[C, cs]
     outputs:
-      center VMEM f32[1, 2, C, cs]       mean center segment (re, im)
+      cre/cim VMEM f32[1, C, cs]         mean center segment re / im —
+                                         SEPARATE planes so the
+                                         downstream planar correlation
+                                         (ops/corr.py) reads contiguous
+                                         arrays with no slice/copy
       sums   VMEM f32[1, 2*(n_cyc+1), C] rows: head_re, seg_re[n_cyc],
                                          head_im, seg_im[n_cyc]
     scratch (persist across the sequential grid; built at b == 0):
@@ -289,58 +299,83 @@ def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, params_ref,
     v = c0 * f2 - s0 * e2
     cbc = rotcol_ref[0, 0:c, 0:1]                         # [C, 1]
     sbc = rotcol_ref[0, c:2 * c, 0:1]
-    center_ref[0, 0] = cbc * u + sbc * v
-    center_ref[0, 1] = cbc * v - sbc * u
+    cre_ref[0] = cbc * u + sbc * v
+    cim_ref[0] = cbc * v - sbc * u
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def mix_wipeoff_mxu(cfg: ReceiverConfig, k: int, params: Array,
-                    delays: Array, rotrow: Array, rotcol: Array, g: Array,
-                    cqsq: Array, blocks2: Array,
-                    codes: Array) -> tuple[Array, Array]:
-    """MXU-contraction mix + wipeoff (see _mxu_wipeoff_kernel)."""
+def mix_wipeoff_mxu(cfg: ReceiverConfig, k: int, step: Array,
+                    params: Array, delays: Array, rotrow: Array,
+                    rotcol: Array, g: Array, cqsq: Array, blocks2: Array,
+                    codes: Array) -> tuple[Array, Array, Array]:
+    """MXU-contraction mix + wipeoff (see _mxu_wipeoff_kernel).
+
+    blocks2 holds the WHOLE chunk, f32[T, 2, n_cyc, cs]; `step`
+    (i32[1], scalar-prefetched) selects which K-block window the call
+    processes — the kernel DMAs blocks2[step*k + b] per grid step, so
+    the caller never slices.  Returns (center_re f32[k, C, cs],
+    center_im f32[k, C, cs], sums f32[k, 2*(n_cyc+1), C])."""
     n_ch = params.shape[0]
     cs, n_cyc = cfg.code_samples, cfg.n_cyc
     sl = n_cyc + 1
     kern = functools.partial(_mxu_wipeoff_kernel, cfg, n_ch)
-    return pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(k,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2, n_ch), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 2, n_ch), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * n_ch, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 2 * n_ch, 1), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, n_cyc, cs), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 2, n_cyc, cs),
+                         lambda b, s: (s[0] * k + b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2, n_ch, cs), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, n_ch, cs), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * sl, n_ch), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, n_ch, cs), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((k, 2, n_ch, cs), jnp.float32),
-            jax.ShapeDtypeStruct((k, 2 * sl, n_ch), jnp.float32),
+            pl.BlockSpec((1, 2 * sl, n_ch), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * n_ch, cs), jnp.float32),
             pltpu.VMEM((4 * n_ch, cs), jnp.float32),
         ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((k, n_ch, cs), jnp.float32),
+            jax.ShapeDtypeStruct((k, n_ch, cs), jnp.float32),
+            jax.ShapeDtypeStruct((k, 2 * sl, n_ch), jnp.float32),
+        ],
         interpret=jax.default_backend() == "cpu",
-    )(params, delays, rotrow, rotcol, g, cqsq, blocks2, codes)
+    )(step, params, delays, rotrow, rotcol, g, cqsq, blocks2, codes)
 
 
 def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
-                       codes: Array, code_ffts: Array):
+                       codes: Array, code_ffts: Array, corr_spec=None,
+                       step=None):
     """Drop-in replacement for the XLA heavy stage (ops/tracking.py):
-    Pallas mix+wipeoff kernel + MXU DFT correlation."""
+    Pallas mix+wipeoff kernel + MXU correlation.
+
+    corr_spec: optional pre-permuted conj code spectrum
+    (ops/corr.py prep_spec) — pass it from outside a scan so the
+    permute isn't re-done every step; derived from code_ffts here
+    otherwise.
+    step: optional traced i32 K-block step index.  When given, `blocks`
+    is the WHOLE planar chunk f32[T, 2, ngps] and the kernel DMAs its
+    K-block window itself (scalar prefetch) — the caller's scan passes
+    only the index, never a slice.  When None, blocks is one step's
+    [k, 2, ngps] (or c64[k, ngps]) as before."""
     from gps_sdr_tpu.ops.tracking import HeavyOut
 
     fs = cfg.sample_rate
@@ -357,11 +392,19 @@ def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
     wipe = jax.vmap(lambda f, d: predict_wipe_delays(cfg, k, f, d))(
         freq, delay0)                                     # i32[C, k]
 
-    if dsp.is_planar_input(blocks):        # f32[k, 2, ngps]: free reshape
-        blocks2 = blocks.reshape(k, 2, n_cyc, cs)
+    if step is not None:                   # full planar chunk, in-kernel
+        t = blocks.shape[0]                # window DMA (mxu kernel); the
+        blocks2 = blocks.reshape(t, 2, n_cyc, cs)   # vpu kernel slices
+        if not cfg.use_mxu_wipeoff:
+            blocks2 = jax.lax.dynamic_slice_in_dim(blocks2, step * k, k)
+        step_arr = jnp.asarray(step, jnp.int32).reshape(1)
+    elif dsp.is_grouped_iq(cfg, blocks) or dsp.is_planar_input(blocks):
+        blocks2 = blocks.reshape(k, 2, n_cyc, cs)  # grouped: identity
+        step_arr = jnp.zeros((1,), jnp.int32)
     else:                                  # c64[k, ngps]: X64Split cost
         blocks2 = jnp.stack([jnp.real(blocks), jnp.imag(blocks)],
                             axis=1).reshape(k, 2, n_cyc, cs)
+        step_arr = jnp.zeros((1,), jnp.int32)
 
     if cfg.use_mxu_wipeoff:
         base = phase[None, :] + snp[None, :] * jnp.arange(
@@ -376,10 +419,9 @@ def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
                  .astype(jnp.float32) / jnp.float32(ca))[None, :]
         g = jnp.concatenate([cq_r * cmask, sq_r * cmask], axis=0)
         cqsq = jnp.stack([cq_r.T, sq_r.T])                # [2, n_cyc, C]
-        center2, sums2 = mix_wipeoff_mxu(
-            cfg, k, params, wipe, rotrow, rotcol, g, cqsq,
+        center_re, center_im, sums2 = mix_wipeoff_mxu(
+            cfg, k, step_arr, params, wipe, rotrow, rotcol, g, cqsq,
             blocks2, codes)
-        center_c = jax.lax.complex(center2[:, 0], center2[:, 1])
         sl = n_cyc + 1
         head_k = jnp.moveaxis(jax.lax.complex(
             sums2[:, 0], sums2[:, sl]), 0, 1)              # [C, k]
@@ -389,17 +431,18 @@ def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
         center, sums = mix_wipeoff(cfg, k, params, wipe,
                                    blocks2, codes)
         center = center.reshape(k, n_ch, 2, cs)
-        center_c = jax.lax.complex(center[:, :, 0], center[:, :, 1])
+        center_re, center_im = center[:, :, 0], center[:, :, 1]
         sums = sums.reshape(k, n_ch, 2, SUMS_PAD)[:, :, :, :n_cyc + 1]
         sums_c = jax.lax.complex(sums[:, :, 0], sums[:, :, 1])
         head_k = jnp.moveaxis(sums_c[:, :, 0], 0, -1)       # [C, k]
         seg_sums_k = jnp.moveaxis(sums_c[:, :, 1:], 0, 1)   # [C, k, n_cyc]
 
-    # correlation on the MXU (XLA); center is already the mean segment
-    fft_mean = dsp.dft(center_c)                          # [k, C, cs]
-    corr = dsp.circ_correlate(fft_mean, code_ffts[None, :, :])
-    delay_k, code_phase_k, norm_max_k = jax.vmap(jax.vmap(
-        lambda cr: dsp.peak_metrics(cr, cfg.corr_min)))(corr)
+    # transpose-free planar correlation + permuted-layout peak metrics
+    # (ops/corr.py); center is already the mean segment
+    if corr_spec is None:
+        corr_spec = corr.prep_spec(code_ffts, cs)
+    delay_k, code_phase_k, norm_max_k = corr.corr_peaks(
+        center_re, center_im, corr_spec, cfg.corr_min)    # [k, C]
 
     def res_delay(prev, d):
         nd = jnp.where(d >= 0, d, prev)

@@ -106,6 +106,20 @@ def to_f32_pairs(x) -> "np.ndarray":
                      x.imag.astype(np.float32)], axis=-1)
 
 
+def to_grouped_planar(cfg, x) -> "np.ndarray":
+    """Host-side complex chunk [T, ngps] -> grouped planar
+    f32[T, 2, n_cyc, cs], the canonical on-device chunk layout (tiles
+    straight onto the Pallas tracking kernel; flat planar pads its
+    2-row sublane dim 4x and costs a full-chunk retile on TPU)."""
+    x = np.asarray(x)
+    t = x.shape[0]
+    out = np.empty((t, 2, cfg.n_cyc, cfg.code_samples), np.float32)
+    flat = out.reshape(t, 2, cfg.ngps)
+    flat[:, 0] = x.real
+    flat[:, 1] = x.imag
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def init_channel_states(cfg: ReceiverConfig, n_channels: int) -> ChannelState:
     # jitted so the buffers are CREATED on device: eager jnp.zeros would
@@ -666,16 +680,22 @@ def heavy_channel_k(cfg: ReceiverConfig, k: int, freq: Array, phase: Array,
 
 def heavy_stage(cfg: ReceiverConfig, k: int, states: ChannelState,
                 blocks: Array, codes: Array,
-                code_ffts: Array) -> HeavyOut:
+                code_ffts: Array, corr_spec=None, step=None) -> HeavyOut:
     """Multi-channel heavy stage: XLA by default; with
     cfg.use_pallas_kernels the mix+wipeoff runs as one fused Pallas
-    kernel (ops/pallas_kernels.py) and only the DFT correlation stays
-    in XLA (MXU matmuls).  `codes` (time domain) feeds the in-kernel
-    delay roll; the XLA path rolls in the frequency domain instead."""
+    kernel (ops/pallas_kernels.py) and only the MXU correlation stays
+    in XLA (ops/corr.py).  `codes` (time domain) feeds the in-kernel
+    delay roll; the XLA path rolls in the frequency domain instead.
+    corr_spec: optional hoisted ops/corr.py prep_spec(code_ffts).
+    step: optional K-block step index — blocks is then the WHOLE
+    planar chunk and the Pallas kernel selects its window (pallas
+    path only; see heavy_stage_pallas)."""
     if cfg.pallas_heavy_enabled():
         from gps_sdr_tpu.ops.pallas_kernels import heavy_stage_pallas
         return heavy_stage_pallas(cfg, k, states, blocks, codes,
-                                  code_ffts)
+                                  code_ffts, corr_spec=corr_spec,
+                                  step=step)
+    assert step is None
     return jax.vmap(
         functools.partial(heavy_channel_k, cfg, k),
         in_axes=(0, 0, 0, 0, None))(
@@ -858,13 +878,20 @@ def track_chunk_batched_impl(cfg: ReceiverConfig, states: ChannelState,
             lambda a, b: jnp.concatenate(
                 [a, b.astype(jnp.float32)], axis=0), o1, o2)
         return st2, outs
-    if not (cfg.pallas_heavy_enabled() and dsp.is_planar_input(blocks)):
-        # planar f32[T, 2, ngps] feeds the Pallas heavy stage directly;
+    grouped = dsp.is_grouped_iq(cfg, blocks)
+    if cfg.pallas_heavy_enabled() and (grouped
+                                       or dsp.is_planar_input(blocks)):
+        # grouped planar f32[T, 2, n_cyc, cs] feeds the Pallas heavy
+        # stage with zero copies; flat planar [T, 2, ngps] is regrouped
+        # once per chunk (a retile on TPU — producers should emit
+        # grouped, models/sim_jax.py chunk_planar)
+        if not grouped:
+            blocks = blocks.reshape(t, 2, cfg.n_cyc, cfg.code_samples)
+    else:
         # everything else converts to c64 (X64 emulation cost on TPU)
         blocks = as_complex(blocks)
     code_ffts = as_complex(code_ffts)
     stream0 = jnp.asarray(stream_no0).astype(jnp.int32)
-    grouped = blocks.reshape((t // k, k) + blocks.shape[1:])
 
     if cfg.pallas_cheap_enabled():
         from gps_sdr_tpu.ops.pallas_cheap import cheap_stage_pallas
@@ -874,14 +901,34 @@ def track_chunk_batched_impl(cfg: ReceiverConfig, states: ChannelState,
             functools.partial(channel_step_k, cfg, k),
             in_axes=(0, 0, None), out_axes=0)
 
+    corr_spec = None
+    if cfg.pallas_heavy_enabled():
+        # hoist the code-spectrum permute out of the scan body
+        from gps_sdr_tpu.ops import corr as corrmod
+        corr_spec = corrmod.prep_spec(code_ffts, cfg.code_samples)
+
+    # pallas + grouped planar: the scan carries only a step INDEX and
+    # the kernel DMAs its K-block window from the closed-over chunk (no
+    # per-step XLA slice); other paths scan over k-grouped block slices
+    by_step = blocks.ndim == 4
+
     def body(carry, x):
-        blk_k, sno = x
-        heavy = heavy_stage(cfg, k, carry, blk_k, codes, code_ffts)
+        blk_or_step, sno = x
+        if by_step:
+            heavy = heavy_stage(cfg, k, carry, blocks, codes, code_ffts,
+                                corr_spec=corr_spec, step=blk_or_step)
+        else:
+            heavy = heavy_stage(cfg, k, carry, blk_or_step, codes,
+                                code_ffts, corr_spec=corr_spec)
         new_states, out = cheap(carry, heavy, sno)
         return new_states, out
 
+    if by_step:
+        lead = jnp.arange(t // k, dtype=jnp.int32)
+    else:
+        lead = blocks.reshape((t // k, k) + blocks.shape[1:])
     stream_nos = stream0 + k * jnp.arange(t // k, dtype=jnp.int32)
-    states, outs = jax.lax.scan(body, states, (grouped, stream_nos))
+    states, outs = jax.lax.scan(body, states, (lead, stream_nos))
     # [T//k, C, k, ...] -> [T, C, ...]
     def flat(x):
         x = jnp.moveaxis(x, 2, 1)       # [T//k, k, C, ...]

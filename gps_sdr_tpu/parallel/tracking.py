@@ -142,7 +142,8 @@ def track_sharded(cfg: ReceiverConfig, mesh: Mesh, states: ChannelState,
                   ) -> tuple[ChannelState, ChannelOut]:
     """Track T blocks over the (time, ch) mesh.
 
-    blocks: [T, ngps] complex64 or [T, ngps, 2] f32, T divisible by the
+    blocks: [T, ngps] complex64, [T, ngps, 2] f32, or grouped planar
+    [T, 2, n_cyc, cs] f32, T divisible by the
     time-axis size; states/codes/code_ffts channel axes divisible by the
     ch-axis size (use pad_channels).  Returns (final_states, outs) where
     final_states is the last time-shard's state [C, ...] and outs is

@@ -37,8 +37,8 @@ from gps_sdr_tpu.ops.tracking import (ChannelOut, cn0_from_amp,
                                       init_channel_states,
                                       outs_to_numpy, pack_outs_compact,
                                       reset_channel, summarize_states,
-                                      to_f32_pairs, track_chunk,
-                                      track_chunk_batched,
+                                      to_f32_pairs, to_grouped_planar,
+                                      track_chunk, track_chunk_batched,
                                       unpack_outs_compact)
 from gps_sdr_tpu.runtime.channelmgr import SlotTable, select_sats
 from gps_sdr_tpu.runtime.evaluator import EpochInput
@@ -232,7 +232,14 @@ class Receiver:
         if isinstance(chunk, _DeviceChunk):
             stacked = chunk.blocks_dev          # already on device
         elif isinstance(chunk[0], np.ndarray):
-            stacked = jnp.asarray(to_f32_pairs(np.stack(chunk)))
+            arr = np.stack(chunk)
+            if np.iscomplexobj(arr) and cfg.pallas_heavy_enabled():
+                # upload in the grouped planar layout so host-sourced
+                # streams (replay/live) ride the zero-copy Pallas path
+                # instead of paying c64 X64-emulation on device
+                stacked = jnp.asarray(to_grouped_planar(cfg, arr))
+            else:
+                stacked = jnp.asarray(to_f32_pairs(arr))
         else:
             stacked = jnp.stack(chunk)
         # the batched path handles non-divisible tails itself (fused
@@ -515,6 +522,8 @@ def _block_f32(blocks_dev, i: int):
     """One block as f32 re/im planes [2, ngps] (jitted: eager ops
     through the deployment tunnel each pay a slow remote compile)."""
     blk = blocks_dev[i]
+    if blk.ndim == 3:                      # grouped planar [2, n_cyc, cs]
+        return blk.reshape(2, -1).astype(jnp.float32)
     if blk.ndim == 2:                      # planar [2, ngps]
         return blk.astype(jnp.float32)
     return jnp.stack([jnp.real(blk), jnp.imag(blk)]).astype(jnp.float32)
@@ -522,6 +531,7 @@ def _block_f32(blocks_dev, i: int):
 
 def _download_block(blocks_dev, i):
     """One block to the host as complex64 via an f32-planes transfer.
-    Accepts c64[T, ngps] or planar f32[T, 2, ngps] device chunks."""
+    Accepts c64[T, ngps], planar f32[T, 2, ngps], or grouped planar
+    f32[T, 2, n_cyc, cs] device chunks."""
     plane = np.asarray(_block_f32(blocks_dev, i))
     return plane[0] + 1j * plane[1]

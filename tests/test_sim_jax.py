@@ -61,9 +61,12 @@ def test_noise_deterministic_by_block():
 def test_planar_layout_matches_complex():
     sats = _sats()
     synth = JaxSynth(CFG, sats, noise_std=0.3, seed=9)
-    planar = np.asarray(synth.chunk_planar(1, 2))   # [T, 2, ngps]
+    # grouped planar [T, 2, n_cyc, cs]: the canonical device chunk
+    # layout (tiles straight into the Pallas tracking kernel)
+    planar = np.asarray(synth.chunk_planar(1, 2))
     cplx = np.asarray(synth.chunk(1, 2))            # [T, ngps] c64
-    assert planar.shape == (2, 2, CFG.ngps)
+    assert planar.shape == (2, 2, CFG.n_cyc, CFG.code_samples)
     assert planar.dtype == np.float32
-    np.testing.assert_array_equal(planar[:, 0], cplx.real)
-    np.testing.assert_array_equal(planar[:, 1], cplx.imag)
+    flat = planar.reshape(2, 2, CFG.ngps)
+    np.testing.assert_array_equal(flat[:, 0], cplx.real)
+    np.testing.assert_array_equal(flat[:, 1], cplx.imag)
