@@ -169,9 +169,11 @@ def mix_wipeoff(cfg: ReceiverConfig, k: int, params: Array, delays: Array,
 
 
 def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, step_ref,
-                        params_ref, delays_ref, rotrow_ref, rotcol_ref,
+                        params_ref, delays_ref, svec_ref, dcol_ref,
+                        rotrow_ref, rotcol_ref,
                         g_ref, cqsq_ref, block_ref, codes_ref,
-                        cre_ref, cim_ref, sums_ref, c0s0_ref, wt_ref):
+                        cre_ref, cim_ref, sums_ref, c0s0_ref, wt_ref,
+                        rolled_ref):
     """MXU formulation of mix + code wipeoff, one grid step per block.
 
     The per-sample oscillator factorizes exactly: with j = q*cs + i,
@@ -195,7 +197,12 @@ def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, step_ref,
              device time, ROOFLINE_r03.json constant_dynamic-slice)
       params SMEM f32[C, 4] (s, phase0, snp, delay0 — delay0
              unused, kept for layout; masks/rolls use delays_ref)
-      delays SMEM i32[C, k]  per-block wipeoff delays
+      delays SMEM i32[C, k]  per-block wipeoff delays (roll shifts)
+      svec   VMEM f32[C, 1]  params[:, 0] as a column — lets the
+             oscillator tables build as TWO dense [C, cs] ops instead
+             of 2C sublane-starved [1, cs] rows
+      dcol   VMEM f32[1, C, 1] this block's wipeoff delays as a column
+             (same batching for the head mask)
       rotrow VMEM f32[1, 2, C]    cos/sin(base_b) as rows
       rotcol VMEM f32[1, 2C, 1]   same, as columns
       g      VMEM f32[2C, n_cyc]  center-mask-scaled cq/sq row weights
@@ -211,7 +218,7 @@ def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, step_ref,
       sums   VMEM f32[1, 2*(n_cyc+1), C] rows: head_re, seg_re[n_cyc],
                                          head_im, seg_im[n_cyc]
     scratch (persist across the sequential grid; built at b == 0):
-      c0s0 f32[2C, cs]; wt f32[4C, cs]
+      c0s0 f32[2C, cs]; wt f32[4C, cs]; rolled f32[C, cs]
     """
     cs, n_cyc = cfg.code_samples, cfg.n_cyc
     c = n_ch
@@ -222,27 +229,25 @@ def _mxu_wipeoff_kernel(cfg: ReceiverConfig, n_ch: int, step_ref,
     @pl.when(b == 0)
     def _init():
         col0 = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1).astype(f32)
-        for ch in range(c):
-            s = params_ref[ch, 0]
-            ar = s * (col0 + 1.0)
-            c0s0_ref[ch:ch + 1, :] = jnp.cos(ar)
-            c0s0_ref[c + ch:c + ch + 1, :] = jnp.sin(ar)
+        ar = svec_ref[:, :] * (col0 + 1.0)                # [C, cs]
+        c0s0_ref[0:c, :] = jnp.cos(ar)
+        c0s0_ref[c:2 * c, :] = jnp.sin(ar)
 
     # code-dependent weights follow the per-block wipeoff delay (code
-    # Doppler drift, ops/tracking.py predict_wipe_delays): ~4 [1, cs]
-    # multiplies + one in-register roll per channel per block — ~3% of
-    # the block's MXU work
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1).astype(f32)
+    # Doppler drift, ops/tracking.py predict_wipe_delays).  The rolls
+    # are per-channel (pltpu.roll takes one scalar shift); everything
+    # else is batched over the channel axis — 4 dense [C, cs] ops + one
+    # mask instead of ~6C sublane-starved [1, cs] row ops per block.
     for ch in range(c):
-        wipe = delays_ref[ch, b]
-        code = pltpu.roll(codes_ref[ch:ch + 1, :], shift=wipe, axis=1)
-        dm = (col < wipe.astype(f32)).astype(f32)
-        c0w = c0s0_ref[ch:ch + 1, :]
-        s0w = c0s0_ref[c + ch:c + ch + 1, :]
-        wt_ref[ch:ch + 1, :] = code * c0w
-        wt_ref[c + ch:c + ch + 1, :] = code * s0w
-        wt_ref[2 * c + ch:2 * c + ch + 1, :] = code * c0w * dm
-        wt_ref[3 * c + ch:3 * c + ch + 1, :] = code * s0w * dm
+        rolled_ref[ch:ch + 1, :] = pltpu.roll(
+            codes_ref[ch:ch + 1, :], shift=delays_ref[ch, b], axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1).astype(f32)
+    dm = (col < dcol_ref[0]).astype(f32)                  # [C, cs]
+    rolled = rolled_ref[:, :]
+    wt_ref[0:c, :] = rolled * c0s0_ref[0:c, :]
+    wt_ref[c:2 * c, :] = rolled * c0s0_ref[c:2 * c, :]
+    wt_ref[2 * c:3 * c, :] = wt_ref[0:c, :] * dm
+    wt_ref[3 * c:4 * c, :] = wt_ref[c:2 * c, :] * dm
 
     br = block_ref[0, 0]                                  # [n_cyc, cs]
     bi = block_ref[0, 1]
@@ -325,6 +330,9 @@ def mix_wipeoff_mxu(cfg: ReceiverConfig, k: int, step: Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # svec [C, 1]
+            pl.BlockSpec((1, n_ch, 1), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),          # dcol
             pl.BlockSpec((1, 2, n_ch), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * n_ch, 1), lambda b, s: (b, 0, 0),
@@ -347,8 +355,11 @@ def mix_wipeoff_mxu(cfg: ReceiverConfig, k: int, step: Array,
         scratch_shapes=[
             pltpu.VMEM((2 * n_ch, cs), jnp.float32),
             pltpu.VMEM((4 * n_ch, cs), jnp.float32),
+            pltpu.VMEM((n_ch, cs), jnp.float32),
         ],
     )
+    svec = params[:, 0:1]                                  # [C, 1]
+    dcol = delays.T.astype(jnp.float32)[:, :, None]        # [k, C, 1]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -358,7 +369,8 @@ def mix_wipeoff_mxu(cfg: ReceiverConfig, k: int, step: Array,
             jax.ShapeDtypeStruct((k, 2 * sl, n_ch), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(step, params, delays, rotrow, rotcol, g, cqsq, blocks2, codes)
+    )(step, params, delays, svec, dcol, rotrow, rotcol, g, cqsq,
+      blocks2, codes)
 
 
 def heavy_stage_pallas(cfg: ReceiverConfig, k: int, states, blocks: Array,
