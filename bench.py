@@ -525,7 +525,7 @@ def main():
         # throughput mode: consume window k on the host while the
         # device computes window k+1 (identical outputs, +1 window of
         # latency — tests/test_device_transport.py)
-        cfg_fl = cfg.replace(download_windows_in_flight=2,
+        cfg_fl = cfg.replace(download_windows_in_flight=4,
                              chunks_per_download=w_fl,
                              defer_subframe_poll=True,
                              epoch_per_window=True)
@@ -596,7 +596,7 @@ def main():
         def provider_sv(first, n):
             return _slice_sv(buf_sv, jnp.int32(first), n)
 
-        cfg_sv = cfg.replace(download_windows_in_flight=2,
+        cfg_sv = cfg.replace(download_windows_in_flight=4,
                              chunks_per_download=w_sv,
                              defer_subframe_poll=True,
                              epoch_per_window=True)

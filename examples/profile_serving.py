@@ -24,6 +24,8 @@ p = argparse.ArgumentParser()
 p.add_argument("--sec", type=float, default=24.0)
 p.add_argument("--streams", type=int, default=8)
 p.add_argument("--tpu", action="store_true")
+p.add_argument("--wif", type=int, default=2,
+               help="download_windows_in_flight")
 args = p.parse_args()
 
 import jax  # noqa: E402
@@ -38,7 +40,7 @@ from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth  # noqa: E402
 from gps_sdr_tpu.runtime.evaluator import Evaluator  # noqa: E402
 from gps_sdr_tpu.runtime.serving import StreamServer  # noqa: E402
 
-cfg = ReceiverConfig().replace(download_windows_in_flight=2,
+cfg = ReceiverConfig().replace(download_windows_in_flight=args.wif,
                                chunks_per_download=16,
                                defer_subframe_poll=True,
                                epoch_per_window=True)

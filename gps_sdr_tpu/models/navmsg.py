@@ -195,11 +195,14 @@ def field_scale(sf_id: int, name: str) -> float:
 
 
 def _bits_to_int(bits: np.ndarray, signed: bool) -> int:
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
-    if signed and bits[0] == 1:
-        v -= 1 << len(bits)
+    # one int64 dot against MSB-first powers of two (fields are <= 32
+    # bits); the per-bit Python loop was ~40% of decode_subframe at the
+    # serving path's subframe rate
+    b = np.asarray(bits, np.int64)
+    n = b.shape[0]
+    v = int(b @ (np.int64(1) << np.arange(n - 1, -1, -1, dtype=np.int64)))
+    if signed and b[0] == 1:
+        v -= 1 << n
     return v
 
 

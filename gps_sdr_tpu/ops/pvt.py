@@ -256,21 +256,27 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
                     height: float | None = None,
                     height_dev: float = 1.0,
                     clock_rate: bool = False,
-                    clock_rate_fix: float = 0.0) -> list[FixResult]:
+                    clock_rate_fix=0.0) -> list[FixResult]:
     """solve_fix over a batch of E epochs that share the satellite count.
 
     sat_pos float64[E, 3, n]; time_delay float64[E, n]; std_dev
-    float64[E, n] or None; rec_pos0 one shared warm start [4] (GN
-    converges to |delta| < max_residual, so the optimum is start-
-    independent for any converging epoch).  All E normal-equation
-    solves run as one stacked [E, 4, 4] np.linalg.solve per iteration —
-    the per-second fix cadence (32 epochs/s) in ~3 batched iterations
+    float64[E, n] or None; rec_pos0 one shared warm start [4] or
+    per-epoch [E, 4] (GN converges to |delta| < max_residual, so the
+    optimum is start-independent for any converging epoch);
+    clock_rate_fix a scalar or per-epoch [E] (the serving path stacks
+    MANY independent streams' epochs into one call, each with its own
+    filtered clock-rate estimate).  All E normal-equation solves run as
+    one stacked [E, 4, 4] np.linalg.solve per iteration — the
+    per-second fix cadence (32 epochs/s) in ~3 batched iterations
     instead of 32 Python GN loops.  Returns one FixResult per epoch.
     """
     sat_pos = np.asarray(sat_pos, np.float64)
     E, _, n = sat_pos.shape
     td = np.asarray(time_delay, np.float64)
-    cdt = GPS_C * (td - td[:, :1]) * (1.0 - clock_rate_fix)
+    crf = np.asarray(clock_rate_fix, np.float64)
+    if crf.ndim == 0:
+        crf = np.full(E, float(crf))
+    cdt = GPS_C * (td - td[:, :1]) * (1.0 - crf[:, None])
     use_rate = clock_rate and n >= 5
     nu = 5 if use_rate else 4
 
@@ -285,7 +291,7 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
                                clock_rate_fix=clock_rate_fix)
         pos[:, :4] = np.stack([b.rec_pos for b in base])
     elif rec_pos0 is not None:
-        pos[:, :4] = np.asarray(rec_pos0, np.float64)[:4]
+        pos[:, :4] = np.asarray(rec_pos0, np.float64)[..., :4]
     pos[:, 0] = GPS_C * t0_guess
 
     use_height = height is not None
@@ -308,45 +314,86 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
     dp = np.zeros((E, 3, n))
     residual = np.full(E, np.inf)
     n_iter = np.zeros(E, np.int64)
-    range_est = np.zeros((E, n))
+    # GN iterations run on the ACTIVE epoch subset only: the Sagnac
+    # re-linearization makes |delta| plateau ~1e-7, so tight gates leave
+    # a few stragglers iterating to max_it — without compaction every
+    # converged epoch in the stack pays for them (the cross-stream
+    # serving batch stacks hundreds of epochs into one call)
+    ai = np.arange(E)
     for _ in range(max_it):
-        act = residual > max_residual
-        if not act.any():
+        ai = ai[residual[ai] > max_residual]
+        if ai.size == 0:
             break
-        diff = sat_pos - pos[:, 1:4, None] - dp
-        range_est = np.sqrt(np.sum(diff * diff, axis=1))
+        na = ai.size
+        sp_a, pos_a, dp_a = sat_pos[ai], pos[ai], dp[ai]
+        cdt_a, w_a = cdt[ai], w[ai]
+        diff = sp_a - pos_a[:, 1:4, None] - dp_a
+        range_a = np.sqrt(np.sum(diff * diff, axis=1))
         omega_v = OMEGA_EARTH * np.stack(
-            [-pos[:, 2], pos[:, 1], np.zeros(E)], axis=1)
-        dp = omega_v[:, :, None] * (range_est / GPS_C)[:, None, :]
+            [-pos_a[:, 2], pos_a[:, 1], np.zeros(na)], axis=1)
+        dp[ai] = omega_v[:, :, None] * (range_a / GPS_C)[:, None, :]
 
-        cdt_eff = cdt * (1.0 - pos[:, 4:5]) if use_rate else cdt
-        fgn = np.empty((E, m))
-        fgn[:, :n] = range_est - pos[:, :1] - cdt_eff
-        jac = np.zeros((E, m, nu))
+        cdt_eff = cdt_a * (1.0 - pos_a[:, 4:5]) if use_rate else cdt_a
+        fgn = np.empty((na, m))
+        fgn[:, :n] = range_a - pos_a[:, :1] - cdt_eff
+        jac = np.zeros((na, m, nu))
         jac[:, :n, 0] = -1.0
         jac[:, :n, 1:4] = np.transpose(
-            (pos[:, 1:4, None] - sat_pos) / range_est[:, None, :],
+            (pos_a[:, 1:4, None] - sp_a) / range_a[:, None, :],
             (0, 2, 1))
         if use_rate:
-            jac[:, :n, 4] = cdt
+            jac[:, :n, 4] = cdt_a
         if use_height:
-            r_ell = np.sqrt(pos[:, 1] ** 2 + pos[:, 2] ** 2
-                            + ab2 * pos[:, 3] ** 2)
+            r_ell = np.sqrt(pos_a[:, 1] ** 2 + pos_a[:, 2] ** 2
+                            + ab2 * pos_a[:, 3] ** 2)
             fgn[:, n] = r_ell - (WGS84_A + height)
             jac[:, n, 0] = 0.0
-            jac[:, n, 1] = pos[:, 1] / r_ell
-            jac[:, n, 2] = pos[:, 2] / r_ell
-            jac[:, n, 3] = ab2 * pos[:, 3] / r_ell
+            jac[:, n, 1] = pos_a[:, 1] / r_ell
+            jac[:, n, 2] = pos_a[:, 2] / r_ell
+            jac[:, n, 3] = ab2 * pos_a[:, 3] / r_ell
 
-        jtw = np.transpose(jac, (0, 2, 1)) * w[:, None, :]
+        jtw = np.transpose(jac, (0, 2, 1)) * w_a[:, None, :]
         jtj = jtw @ jac
         rhs = (jtw @ fgn[:, :, None])[:, :, 0]
         delta = -np.linalg.solve(jtj, rhs[:, :, None])[:, :, 0]
-        pos = np.where(act[:, None], pos + delta, pos)
+        pos_a = pos_a + delta
         if use_rate:
-            pos[:, 4] = np.clip(pos[:, 4], -2e-5, 2e-5)
-        residual = np.where(act, np.linalg.norm(delta, axis=1), residual)
-        n_iter += act
+            pos_a[:, 4] = np.clip(pos_a[:, 4], -2e-5, 2e-5)
+        pos[ai] = pos_a
+        residual[ai] = np.linalg.norm(delta, axis=1)
+        n_iter[ai] += 1
+
+    # final full-batch recompute at the converged positions: the Sagnac
+    # fixed point restarts deterministically from dp=0 (converges in
+    # ~2 passes: |omega x r| * range/c corrections are ~1e-7 relative),
+    # so the reported ranges/covariances are functions of the FINAL
+    # position only — independent of the epoch's iteration history and
+    # of whatever else shares the stacked batch (and never one
+    # iteration stale, which the in-loop values were for epochs that
+    # updated on the last pass)
+    omega_v = OMEGA_EARTH * np.stack(
+        [-pos[:, 2], pos[:, 1], np.zeros(E)], axis=1)
+    dp = np.zeros((E, 3, n))
+    for _ in range(3):
+        diff = sat_pos - pos[:, 1:4, None] - dp
+        range_est = np.sqrt(np.sum(diff * diff, axis=1))
+        dp = omega_v[:, :, None] * (range_est / GPS_C)[:, None, :]
+    diff = sat_pos - pos[:, 1:4, None] - dp
+    range_est = np.sqrt(np.sum(diff * diff, axis=1))
+    jac = np.zeros((E, m, nu))
+    jac[:, :n, 0] = -1.0
+    jac[:, :n, 1:4] = np.transpose(
+        (pos[:, 1:4, None] - sat_pos) / range_est[:, None, :], (0, 2, 1))
+    if use_rate:
+        jac[:, :n, 4] = cdt
+    if use_height:
+        r_ell = np.sqrt(pos[:, 1] ** 2 + pos[:, 2] ** 2
+                        + ab2 * pos[:, 3] ** 2)
+        jac[:, n, 1] = pos[:, 1] / r_ell
+        jac[:, n, 2] = pos[:, 2] / r_ell
+        jac[:, n, 3] = ab2 * pos[:, 3] / r_ell
+    jtw = np.transpose(jac, (0, 2, 1)) * w[:, None, :]
+    jtj = jtw @ jac
 
     cdt_eff = cdt * (1.0 - pos[:, 4:5]) if use_rate else cdt
     try:
@@ -357,7 +404,7 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
                       range_est=range_est[i],
                       meas_delay=cdt_eff[i] + pos[i, 0],
                       n_iter=int(n_iter[i]),
-                      clock_rate=clock_rate_fix
+                      clock_rate=float(crf[i])
                       + (float(pos[i, 4]) if use_rate else 0.0),
                       cov=covs[i],
                       res_m=range_est[i] - pos[i, 0] - cdt_eff[i])

@@ -313,13 +313,28 @@ class Evaluator:
     # -- epoch grouping + fix (ecefPositions, gpseval.py:235-317) --
 
     def _fix_epochs(self, sat_res):
+        prep, sat_pos_list = self._fix_prepare(sat_res)
+        if prep is None:
+            return sat_pos_list, [], []
+        fixes = self._fix_solve(prep)
+        rec_pos, fails = self._fix_finish(sat_res, prep, fixes)
+        return sat_pos_list, rec_pos, fails
+
+    def _fix_prepare(self, sat_res):
+        """Pass 1: epoch grouping + the stacked solver operands.
+
+        Returns (prep, sat_pos_list); prep is None when no epoch has
+        enough satellites.  Split from _fix_solve/_fix_finish so the
+        serving path (process_many) can stack MANY streams' epochs into
+        ONE solve_fix_batch call — the per-stream GN solve was the
+        largest single host cost at 8+ streams."""
         cfg = self.cfg
         min_sat = 3 if cfg.conf_height else 4
         calc_sat = max(cfg.min_sat, min_sat)
-        rec_pos, sat_pos_list, fails = [], [], []
+        sat_pos_list = []
         n = len(sat_res)
         if n == 0:
-            return sat_pos_list, rec_pos, fails
+            return None, sat_pos_list
         # pass 1: group rows into (tow, cyc) epochs — all-array: sort
         # by (tow, cyc, sat), find group boundaries, keep groups with
         # >= calc_sat satellites
@@ -334,7 +349,7 @@ class Evaluator:
         gs, gc = starts[kept], counts[kept]
         E = len(gs)
         if E == 0:
-            return sat_pos_list, rec_pos, fails
+            return None, sat_pos_list
         ktow = tow[gs]
         kcyc = cyc[gs]
         # satellite-position reporting once per new TOW (among kept
@@ -366,12 +381,25 @@ class Evaluator:
         sig = np.where(real,
                        sat_res.sigma[idx] if cfg.lsf_weight else 1.0,
                        1.0e7)
+        return {"order": order, "gs": gs, "gc": gc, "ktow": ktow,
+                "kcyc": kcyc, "coords": coords, "delays": delays,
+                "sig": sig, "E": E, "n_max": n_max}, sat_pos_list
+
+    def _fix_kw(self) -> dict:
+        cfg = self.cfg
+        return dict(max_it=cfg.lsf_max_it,
+                    max_residual=cfg.max_residual / 10,
+                    height=cfg.height if cfg.conf_height else None,
+                    height_dev=cfg.height_dev,
+                    clock_rate_fix=self.clock_rate_est)
+
+    def _fix_solve(self, prep) -> dict:
+        """Pass 2: the stacked GN solve for one stream's epochs."""
+        cfg = self.cfg
+        coords, delays, sig = prep["coords"], prep["delays"], prep["sig"]
+        gc, E = prep["gc"], prep["E"]
         fixes: dict[int, FixResult] = {}
-        kw = dict(max_it=cfg.lsf_max_it,
-                  max_residual=cfg.max_residual / 10,
-                  height=cfg.height if cfg.conf_height else None,
-                  height_dev=cfg.height_dev,
-                  clock_rate_fix=self.clock_rate_est)
+        kw = self._fix_kw()
         try:
             res = solve_fix_batch(coords, delays, std_dev=sig,
                                   rec_pos0=self.warm_start, **kw)
@@ -389,11 +417,17 @@ class Evaluator:
                         rec_pos0=self.warm_start, **kw)
                 except Exception:
                     pass
+        return fixes
 
-        # pass 3: classification + bookkeeping, in epoch order.  The
-        # POSIX stamp is one datetime per distinct (tow, week) plus the
-        # cycle offset — building a datetime per epoch was measurable
-        # at the merged-window epoch counts
+    def _fix_finish(self, sat_res, prep, fixes):
+        """Pass 3: classification + bookkeeping, in epoch order.  The
+        POSIX stamp is one datetime per distinct (tow, week) plus the
+        cycle offset — building a datetime per epoch was measurable at
+        the merged-window epoch counts."""
+        cfg = self.cfg
+        order, gs, gc = prep["order"], prep["gs"], prep["gc"]
+        ktow, kcyc, E = prep["ktow"], prep["kcyc"], prep["E"]
+        rec_pos, fails = [], []
         tcache: dict = {}
         for e in range(E):
             tw, cy = int(ktow[e]), int(kcyc[e])
@@ -438,7 +472,7 @@ class Evaluator:
         if rec_pos:
             self._update_dop(np.asarray(self.warm_start[1:4]),
                              sat_res, order, gs, gc)
-        return sat_pos_list, rec_pos, fails
+        return rec_pos, fails
 
     def _update_dop(self, rec, sat_res, order, gs, gc) -> None:
         """Dilution of precision of the last epoch (unweighted
@@ -712,6 +746,15 @@ class Evaluator:
     def process_finish(self, stage, sat_res) -> dict:
         """Phase 2: atmosphere/RAIM/fixes/velocity/statistics on the
         propagated rows."""
+        mid = self.process_finish_pre(stage, sat_res)
+        fixes = (self._fix_solve(mid["prep"])
+                 if mid["prep"] is not None else {})
+        return self.process_finish_post(mid, fixes)
+
+    def process_finish_pre(self, stage, sat_res):
+        """Phase 2a: atmosphere/RAIM + the fix preparation.  Returns a
+        mid-stage for process_finish_post; process_many runs ONE
+        cross-stream stacked GN solve between the two halves."""
         epoch, _deferred, active = stage
         gps_time = self._gps_time_of(sat_res)
         if self.cfg.iono_corr or self.cfg.tropo_corr:
@@ -730,7 +773,20 @@ class Evaluator:
             sat_res = self._raim_drop_excluded(sat_res)
             self._raim_detect(sat_res)
             sat_res = self._raim_drop_excluded(sat_res)
-        sat_pos_list, rec_pos, fails = self._fix_epochs(sat_res)
+        prep, sat_pos_list = self._fix_prepare(sat_res)
+        return {"stage": stage, "sat_res": sat_res, "gps_time": gps_time,
+                "prep": prep, "sat_pos_list": sat_pos_list}
+
+    def process_finish_post(self, mid, fixes) -> dict:
+        """Phase 2b: fix bookkeeping, clock rate, velocity, statistics."""
+        epoch, _deferred, active = mid["stage"]
+        sat_res = mid["sat_res"]
+        gps_time = mid["gps_time"]
+        sat_pos_list = mid["sat_pos_list"]
+        if mid["prep"] is not None:
+            rec_pos, fails = self._fix_finish(sat_res, mid["prep"], fixes)
+        else:
+            rec_pos, fails = [], []
         if self.cfg.solve_clock_rate:
             self._update_clock_rate(epoch.frames, sat_res)
         self._solve_velocity(epoch.frames, sat_res)
@@ -806,10 +862,69 @@ def process_many(pairs: list) -> list:
     cfg = pairs[0][0].cfg
     all_deferred = [d for _ev, st in stages for d in st[1]]
     rows = finish_deferred(all_deferred, cfg)
-    out = []
+    mids = []
     i = 0
     for ev, st in stages:
         n = sum(len(d) for d in st[1])
-        out.append(ev.process_finish(st, rows.rows(i, i + n)))
+        mids.append((ev, ev.process_finish_pre(st, rows.rows(i, i + n))))
         i += n
-    return out
+    fixes_per = _solve_fixes_many(mids)
+    return [ev.process_finish_post(mid, fx)
+            for (ev, mid), fx in zip(mids, fixes_per)]
+
+
+def _solve_fixes_many(mids: list) -> list[dict]:
+    """ONE stacked GN solve for every stream's prepared epochs.
+
+    Stream epochs pad to the global satellite count the same way
+    _fix_prepare pads within a stream (repeat a column at sigma 1e7 —
+    a ~1e-14 relative weight, sub-nanometer perturbation); per-stream
+    warm starts and clock-rate estimates ride solve_fix_batch's
+    per-epoch rec_pos0/clock_rate_fix.  Row-for-row identical to the
+    per-stream _fix_solve (tests/test_serving.py pins equality); falls
+    back to it when solver settings differ across streams or the
+    stacked solve throws (per-stream retry isolates the bad epoch).
+    """
+    live = [(s, ev, mid["prep"]) for s, (ev, mid) in enumerate(mids)
+            if mid["prep"] is not None]
+    fixes_per: list[dict] = [{} for _ in mids]
+    if not live:
+        return fixes_per
+    kws = [ev._fix_kw() for _s, ev, _p in live]
+    kw0 = {k: v for k, v in kws[0].items() if k != "clock_rate_fix"}
+    same = all({k: v for k, v in kw.items() if k != "clock_rate_fix"}
+               == kw0 for kw in kws[1:])
+    if len(live) == 1 or not same:
+        for s, ev, prep in live:
+            fixes_per[s] = ev._fix_solve(prep)
+        return fixes_per
+    n_glob = max(p["n_max"] for _s, _ev, p in live)
+    coords, delays, sig, rp0, crf = [], [], [], [], []
+    for s, ev, p in live:
+        e_i, pad = p["E"], n_glob - p["n_max"]
+        c, d, g = p["coords"], p["delays"], p["sig"]
+        if pad:
+            c = np.concatenate([c, np.repeat(c[:, :, -1:], pad, 2)], 2)
+            d = np.concatenate([d, np.repeat(d[:, -1:], pad, 1)], 1)
+            g = np.concatenate([g, np.full((e_i, pad), 1.0e7)], 1)
+        coords.append(c)
+        delays.append(d)
+        sig.append(g)
+        ws = (np.zeros(4) if ev.warm_start is None
+              else np.asarray(ev.warm_start, np.float64)[:4])
+        rp0.append(np.broadcast_to(ws, (e_i, 4)))
+        crf.append(np.full(e_i, ev.clock_rate_est))
+    try:
+        res = solve_fix_batch(
+            np.concatenate(coords), np.concatenate(delays),
+            std_dev=np.concatenate(sig), rec_pos0=np.concatenate(rp0),
+            clock_rate_fix=np.concatenate(crf), **kw0)
+    except Exception:
+        for s, ev, prep in live:
+            fixes_per[s] = ev._fix_solve(prep)
+        return fixes_per
+    i = 0
+    for s, _ev, p in live:
+        fixes_per[s] = dict(enumerate(res[i:i + p["E"]]))
+        i += p["E"]
+    return fixes_per

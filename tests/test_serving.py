@@ -156,3 +156,42 @@ def test_process_many_matches_per_stream():
         assert a.sat_results == b.sat_results
         assert a.fix_failures == b.fix_failures
         assert len(a.velocities) == len(b.velocities)
+
+
+def test_process_many_heterogeneous_streams():
+    """Cross-stream stacked GN (evaluator._solve_fixes_many) with
+    streams of DIFFERENT satellite counts: the smaller stream's epochs
+    pad to the global count with 1e7-sigma duplicate columns (weight
+    ~1e-14 of a real row), so batched positions must match per-stream
+    evaluation to far below the fix noise floor."""
+    from gps_sdr_tpu.models.scenario import make_scenario as mk
+    from gps_sdr_tpu.runtime.evaluator import Evaluator, process_many
+    from gps_sdr_tpu.runtime.receiver import Receiver
+
+    sec = 20.0
+    t = CFG.no_sec
+    n_chunks = int(round(sec / (t * CFG.block_sec)))
+    streams = []
+    for n_sats, seed in ((6, 4), (5, 11)):
+        scn = mk(CFG, n_sats=n_sats, duration_sec=sec + 12.0, seed=seed)
+        dev = DeviceScenarioSynth(scn, noise_std=0.5)
+        ephs = {s.prn: {"SAT": s.prn, **s.eph} for s in scn.sats}
+        rec = Receiver(CFG)
+        epochs = list(rec.run_device(dev.chunk_planar, n_chunks))
+        assert len(epochs) >= 3
+        streams.append((ephs, epochs))
+
+    seq = [Evaluator(CFG, preloaded_ephem=dict(e)) for e, _ in streams]
+    bat = [Evaluator(CFG, preloaded_ephem=dict(e)) for e, _ in streams]
+    for i in range(min(len(eps) for _, eps in streams)):
+        for ev, (_, eps) in zip(seq, streams):
+            ev.process(eps[i])
+        process_many([(ev, eps[i])
+                      for ev, (_, eps) in zip(bat, streams)])
+
+    for a, b in zip(seq, bat):
+        assert len(a.positions) == len(b.positions) > 0
+        assert a.fix_failures == b.fix_failures
+        pa, pb = np.asarray(a.positions), np.asarray(b.positions)
+        np.testing.assert_allclose(pa[:, 1:], pb[:, 1:], atol=1e-4)
+        np.testing.assert_allclose(pa[:, 0], pb[:, 0], atol=1e-9)
