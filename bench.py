@@ -695,6 +695,47 @@ def main():
         stress["acq_16msps_full_grid_ms"] = round(
             (time.perf_counter() - t0) * 1e3, 1)
         stress["acq_16msps_found"] = int(np.asarray(r16.found).sum())
+
+        # 16 MS/s K-fused tracking (the multipath-countermeasure mode,
+        # tests/test_multipath.py: half-chip ray bias 40-58 m at
+        # 2.048 MS/s -> 5-8 m here); Pallas path measured 1.7x the XLA
+        # path at this shape (116 vs 68x wall)
+        cfg16t = cfg16.replace(max_sat=3,
+                               blocks_per_step=16,
+                               use_pallas_kernels=cfg.use_pallas_kernels,
+                               use_pallas_cheap=cfg.use_pallas_cheap)
+
+        def st16():
+            st = init_channel_states(cfg16t, len(sats16))
+            for i, s in enumerate(sats16):
+                st = reset_channel(st, i, s.prn, s.doppler,
+                                   int(s.code_delay) % 16384, cfg16t)
+            return st
+        t16 = 512
+        blk16 = s16.chunk_planar(0, t16)
+        force_f32(blk16)
+        tab16 = cacode.ca_table(cfg16t)
+        codes16 = jnp.asarray(np.stack([tab16[s.prn] for s in sats16]))
+        f16s = jnp.asarray(to_f32_pairs(
+            np.stack([ftab16[s.prn] for s in sats16])))
+
+        def run16(st):
+            st, outs = track_chunk_batched(
+                cfg16t, st, blk16, jnp.float32(1), codes16, f16s)
+            force_f32(outs.code_phase)
+            return outs
+        run16(st16())                             # compile
+        w16 = 1e9
+        for _ in range(3):                        # state build untimed:
+            st = st16()                           # eager resets pay the
+            force_f32(st.freq)                    # tunnel per dispatch
+            t0 = time.perf_counter()
+            o16 = run16(st)
+            w16 = min(w16, time.perf_counter() - t0)
+        stress["track_16msps_rtf"] = round(
+            t16 * cfg16t.block_sec / w16, 1)
+        stress["track_16msps_locked"] = int(
+            np.asarray(o16.locked)[-1].sum())
     except _Skip:
         pass
     except Exception as e:
