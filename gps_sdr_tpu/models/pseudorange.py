@@ -25,6 +25,7 @@ from gps_sdr_tpu.models import orbits
 from gps_sdr_tpu.models.ephemeris import (EPHEM_SF1, EPHEM_SF2,
                                           EPHEM_SF3, EphemerisAssembler,
                                           SatStatus)
+from gps_sdr_tpu.utils.cplist import cp_arrays
 
 # the ephemeris fields orbit propagation consumes — a STATIC list, so
 # batching ephemerides across satellites never depends on any one
@@ -351,10 +352,9 @@ class PseudorangeEngine:
                        freqs: list) -> np.ndarray | None:
         """Per-entry tracked carrier freq aligned to `snos`, or None if
         any stream number lacks a freq sample (skip smoothing then)."""
-        if not freqs:
+        if freqs is None or not len(freqs):
             return None
-        fsno = np.fromiter((e[0] for e in freqs), np.int64, len(freqs))
-        fval = np.fromiter((e[1] for e in freqs), np.float64, len(freqs))
+        fsno, fval = cp_arrays(freqs)
         idx = np.searchsorted(fsno, snos)
         if (idx >= len(fsno)).any() or (fsno[idx] != snos).any():
             return None
@@ -376,13 +376,17 @@ class PseudorangeEngine:
         six_sec = int(6 * fs)
 
         result: list = []
-        if cpl:
+        snos = cps = None
+        if len(cpl):
             if cpl[0][1] is None:
                 self.phase_err_snos.append(cpl[0][0])
                 self.asm.time_refs = []
                 self._clear_ref()
                 return result
-            cpl = [e for e in cpl if e[0] > self.last_sno]
+            snos, cps = cp_arrays(cpl)
+            keep = snos > self.last_sno
+            snos, cps = snos[keep], cps[keep]   # mask copy: cps is
+            #                        never written in place below
 
         # an ephemeris update invalidates the anchored reference
         if (self.ref_time is not None and self.asm.ephem_ok
@@ -393,7 +397,7 @@ class PseudorangeEngine:
             self.ref_time = self.asm.time_refs[-1]
             self.ref_ephem = dict(self.asm.ephem)
 
-        if not cpl or self.ref_time is None:
+        if snos is None or not snos.size or self.ref_time is None:
             return result
 
         week_num = self.ref_ephem["weekNum"]
@@ -403,9 +407,6 @@ class PseudorangeEngine:
         if st // ngps > self.last_sno:
             self.last_sno = st // ngps
             self.last_cp = st_frac
-
-        snos = np.array([e[0] for e in cpl], dtype=np.int64)
-        cps = np.array([e[1] for e in cpl], dtype=np.float64)
 
         # bridge or reject gaps since the last processed stream
         gap = int(snos[0]) - self.last_sno
@@ -439,7 +440,9 @@ class PseudorangeEngine:
                 cps = self._hatch(snos, cps, fqs)
 
         sigma_a, slope_a = self._sigma_and_slope(snos, cps)
-        self.cp_hist += list(zip(snos.tolist(), cps.tolist()))
+        tail = slice(max(0, len(snos) - self.MAX_FIT), None)
+        self.cp_hist += list(zip(snos[tail].tolist(),
+                                 cps[tail].tolist()))
         self.cp_hist = self.cp_hist[-self.MAX_FIT:]
         self.last_sno, self.last_cp = int(snos[-1]), float(cps[-1])
 

@@ -47,6 +47,54 @@ class FixResult(NamedTuple):
     # statistic's raw material
 
 
+class FixBatch:
+    """Struct-of-arrays result of solve_fix_batch.
+
+    The evaluator consumes fixes in bulk (vectorized _fix_finish);
+    materializing one FixResult namedtuple per epoch was a measurable
+    slice of the serving host budget at merged-window epoch counts.
+    Indexing (`batch[i]`) still yields a FixResult, slicing yields a
+    FixBatch view, iteration yields FixResults — the per-epoch compat
+    surface tests and fallback paths use.
+    """
+
+    __slots__ = ("pos", "residual", "range_est", "meas_delay",
+                 "n_iter", "clock_rate", "cov", "res_m")
+
+    def __init__(self, pos, residual, range_est, meas_delay, n_iter,
+                 clock_rate, cov, res_m):
+        self.pos = pos                  # [E, 4] (c*t0, x, y, z)
+        self.residual = residual        # [E]
+        self.range_est = range_est      # [E, n]
+        self.meas_delay = meas_delay    # [E, n]
+        self.n_iter = n_iter            # [E]
+        self.clock_rate = clock_rate    # [E] total applied/solved
+        self.cov = cov                  # [E, 4, 4] or None
+        self.res_m = res_m              # [E, n]
+
+    def __len__(self) -> int:
+        return self.pos.shape[0]
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return FixBatch(self.pos[i], self.residual[i],
+                            self.range_est[i], self.meas_delay[i],
+                            self.n_iter[i], self.clock_rate[i],
+                            None if self.cov is None else self.cov[i],
+                            self.res_m[i])
+        return FixResult(rec_pos=self.pos[i],
+                         residual=float(self.residual[i]),
+                         range_est=self.range_est[i],
+                         meas_delay=self.meas_delay[i],
+                         n_iter=int(self.n_iter[i]),
+                         clock_rate=float(self.clock_rate[i]),
+                         cov=None if self.cov is None else self.cov[i],
+                         res_m=self.res_m[i])
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+
 def _sagnac(rec_pos: np.ndarray, range_est: np.ndarray) -> np.ndarray:
     """Satellite displacement due to earth rotation during signal flight:
     dp[:, i] = omega x r_rec * (range_i / c) (rotEarth, gpslib.py:1670-75)."""
@@ -256,7 +304,7 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
                     height: float | None = None,
                     height_dev: float = 1.0,
                     clock_rate: bool = False,
-                    clock_rate_fix=0.0) -> list[FixResult]:
+                    clock_rate_fix=0.0) -> "FixBatch":
     """solve_fix over a batch of E epochs that share the satellite count.
 
     sat_pos float64[E, 3, n]; time_delay float64[E, n]; std_dev
@@ -268,7 +316,8 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
     filtered clock-rate estimate).  All E normal-equation solves run as
     one stacked [E, 4, 4] np.linalg.solve per iteration — the
     per-second fix cadence (32 epochs/s) in ~3 batched iterations
-    instead of 32 Python GN loops.  Returns one FixResult per epoch.
+    instead of 32 Python GN loops.  Returns a FixBatch (indexable to
+    per-epoch FixResults).
     """
     sat_pos = np.asarray(sat_pos, np.float64)
     E, _, n = sat_pos.shape
@@ -289,7 +338,7 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
                                t0_guess=t0_guess, height=height,
                                height_dev=height_dev,
                                clock_rate_fix=clock_rate_fix)
-        pos[:, :4] = np.stack([b.rec_pos for b in base])
+        pos[:, :4] = base.pos
     elif rec_pos0 is not None:
         pos[:, :4] = np.asarray(rec_pos0, np.float64)[..., :4]
     pos[:, 0] = GPS_C * t0_guess
@@ -399,13 +448,9 @@ def solve_fix_batch(sat_pos: np.ndarray, time_delay: np.ndarray,
     try:
         covs = np.linalg.inv(jtj)[:, :4, :4]
     except np.linalg.LinAlgError:
-        covs = [None] * E
-    return [FixResult(rec_pos=pos[i, :4], residual=float(residual[i]),
-                      range_est=range_est[i],
-                      meas_delay=cdt_eff[i] + pos[i, 0],
-                      n_iter=int(n_iter[i]),
-                      clock_rate=float(crf[i])
-                      + (float(pos[i, 4]) if use_rate else 0.0),
-                      cov=covs[i],
-                      res_m=range_est[i] - pos[i, 0] - cdt_eff[i])
-            for i in range(E)]
+        covs = None
+    return FixBatch(
+        pos=pos[:, :4], residual=residual, range_est=range_est,
+        meas_delay=cdt_eff + pos[:, :1], n_iter=n_iter,
+        clock_rate=crf + (pos[:, 4] if use_rate else 0.0),
+        cov=covs, res_m=range_est - pos[:, :1] - cdt_eff)

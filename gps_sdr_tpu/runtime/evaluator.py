@@ -25,8 +25,10 @@ from gps_sdr_tpu.models import orbits
 from gps_sdr_tpu.models.ephemeris import SatStatus
 from gps_sdr_tpu.models.pseudorange import (PseudorangeEngine,
                                             finish_deferred)
-from gps_sdr_tpu.ops.pvt import (FixResult, solve_fix, solve_fix_batch,
+from gps_sdr_tpu.ops.pvt import (FixBatch, FixResult, solve_fix,
+                                 solve_fix_batch,
                                  solve_velocity)
+from gps_sdr_tpu.utils.cplist import CodePhaseList, cp_arrays, cp_concat
 from gps_sdr_tpu.utils.gpstime import gps_datetime
 
 
@@ -48,15 +50,13 @@ def unwrap_code_phases(sat_no: int, cplst: list, err_stream: dict,
     max_diff_no = cfg.n_cyc // 4
     cs = cfg.code_samples
     n = len(cplst)
-    cpl = list(cplst)
     if n > 1:
         # Vectorized unwrap.  In the sequential walk both the previous
         # and current phase carry the same accumulated offset when the
         # wrap test runs, so the test only ever sees RAW neighbour
         # differences — the correction is a plain cumulative sum of
         # per-step wrap signs.  Bit-identical to the reference loop.
-        nos = np.fromiter((e[0] for e in cplst), np.int64, n)
-        raw = np.fromiter((e[1] for e in cplst), np.float64, n)
+        nos, raw = cp_arrays(cplst)
         d = raw[:-1] - raw[1:]
         s = np.where(np.abs(np.abs(d) - cs) <= diff_tol, np.sign(d), 0.0)
         corr = raw.copy()
@@ -70,9 +70,12 @@ def unwrap_code_phases(sat_no: int, cplst: list, err_stream: dict,
                            f"{step[i]:.2f} - possible phase error")
             for j in range(no - pno):
                 err_stream[no - j] = err_stream.get(no - j, 0) + 1
-        cpl[1:] = zip(nos[1:].tolist(), corr[1:].tolist())
+        cpl = CodePhaseList(nos, corr)
+    else:
+        cpl = (cplst if isinstance(cplst, CodePhaseList)
+               else list(cplst))
 
-    if cpl and prev_tail is not None:
+    if len(cpl) and prev_tail is not None:
         no, cp = cpl[0]
         pno, pcp = prev_tail
         if no - pno <= max_diff_no:
@@ -121,9 +124,11 @@ def merge_epochs(epochs: list) -> EpochInput:
     cfrq: dict = {}
     for e in epochs:
         for sat, lst in e.code_phases.items():
-            coph.setdefault(sat, []).extend(lst)
+            coph.setdefault(sat, []).append(lst)
         for sat, lst in (e.carrier_freqs or {}).items():
-            cfrq.setdefault(sat, []).extend(lst)
+            cfrq.setdefault(sat, []).append(lst)
+    coph = {sat: cp_concat(parts) for sat, parts in coph.items()}
+    cfrq = {sat: cp_concat(parts) for sat, parts in cfrq.items()}
     return EpochInput(
         skipped_samples=sum(e.skipped_samples for e in epochs),
         frames=frames, code_phases=coph, carrier_freqs=cfrq or None)
@@ -383,7 +388,8 @@ class Evaluator:
                        1.0e7)
         return {"order": order, "gs": gs, "gc": gc, "ktow": ktow,
                 "kcyc": kcyc, "coords": coords, "delays": delays,
-                "sig": sig, "E": E, "n_max": n_max}, sat_pos_list
+                "sig": sig, "E": E, "n_max": n_max, "idx": idx,
+                "real": real}, sat_pos_list
 
     def _fix_kw(self) -> dict:
         cfg = self.cfg
@@ -393,17 +399,18 @@ class Evaluator:
                     height_dev=cfg.height_dev,
                     clock_rate_fix=self.clock_rate_est)
 
-    def _fix_solve(self, prep) -> dict:
-        """Pass 2: the stacked GN solve for one stream's epochs."""
+    def _fix_solve(self, prep):
+        """Pass 2: the stacked GN solve for one stream's epochs.
+        Returns a FixBatch (aligned with epochs 0..E-1), or a dict of
+        per-epoch FixResults from the singular-geometry fallback."""
         cfg = self.cfg
         coords, delays, sig = prep["coords"], prep["delays"], prep["sig"]
         gc, E = prep["gc"], prep["E"]
         fixes: dict[int, FixResult] = {}
         kw = self._fix_kw()
         try:
-            res = solve_fix_batch(coords, delays, std_dev=sig,
-                                  rec_pos0=self.warm_start, **kw)
-            fixes.update(enumerate(res))
+            return solve_fix_batch(coords, delays, std_dev=sig,
+                                   rec_pos0=self.warm_start, **kw)
         except Exception:
             # singular geometry somewhere in the stack: retry each
             # epoch alone so only the bad one records EXCEPTION
@@ -423,7 +430,13 @@ class Evaluator:
         """Pass 3: classification + bookkeeping, in epoch order.  The
         POSIX stamp is one datetime per distinct (tow, week) plus the
         cycle offset — building a datetime per epoch was measurable at
-        the merged-window epoch counts."""
+        the merged-window epoch counts.  A FixBatch takes the bulk
+        array path (unless the track filter needs its sequential
+        per-epoch updates); dict fallbacks keep the per-epoch loop."""
+        if isinstance(fixes, FixBatch):
+            if self.tfilter is None:
+                return self._fix_finish_batch(sat_res, prep, fixes)
+            fixes = dict(enumerate(fixes))
         cfg = self.cfg
         order, gs, gc = prep["order"], prep["gs"], prep["gc"]
         ktow, kcyc, E = prep["ktow"], prep["kcyc"], prep["E"]
@@ -472,6 +485,47 @@ class Evaluator:
         if rec_pos:
             self._update_dop(np.asarray(self.warm_start[1:4]),
                              sat_res, order, gs, gc)
+        return rec_pos, fails
+
+    def _fix_finish_batch(self, sat_res, prep, fixes):
+        """Vectorized pass 3 for the FixBatch path: one residual gate,
+        one bulk timestamp build, one bulk sat_results extension —
+        epoch-for-epoch identical to the sequential loop (the loop's
+        progressive warm_start has no in-call effect beyond its final
+        value)."""
+        cfg = self.cfg
+        order, gs, gc = prep["order"], prep["gs"], prep["gc"]
+        ktow, kcyc = prep["ktow"], prep["kcyc"]
+        ok = fixes.residual <= cfg.max_residual
+        ok_idx = np.nonzero(ok)[0]
+        fails = [(int(ktow[e]), int(kcyc[e]), "MAX_RESIDUAL")
+                 for e in np.nonzero(~ok)[0]]
+        if not ok_idx.size:
+            return [], fails
+        tw = ktow[ok_idx]
+        wk = sat_res.week[order[gs[ok_idx]]]
+        uniq, inv = np.unique(np.stack([tw, wk], 1), axis=0,
+                              return_inverse=True)
+        bases = np.array([gps_datetime(int(t), int(w)).timestamp()
+                          for t, w in uniq])
+        ts = bases[inv] + kcyc[ok_idx] * (cfg.n_cyc / 1000.0)
+        entries = np.concatenate([ts[:, None], fixes.pos[ok_idx, 1:4]],
+                                 axis=1)
+        rec_pos = list(entries)
+        self.warm_start = np.concatenate(
+            [[0.0], fixes.pos[ok_idx[-1], 1:4]])
+        sel, rm = prep["idx"][ok_idx], prep["real"][ok_idx]
+        nk = gc[ok_idx]
+        nm = prep["n_max"]     # cross-stream stacks pad columns beyond
+        #                        this stream's own max satellite count
+        self.sat_results += list(zip(
+            sat_res.sat_no[sel][rm].tolist(),
+            np.repeat(tw, nk).tolist(),
+            np.repeat(kcyc[ok_idx], nk).tolist(),
+            fixes.range_est[ok_idx][:, :nm][rm].tolist(),
+            fixes.meas_delay[ok_idx][:, :nm][rm].tolist()))
+        self._update_dop(np.asarray(self.warm_start[1:4]),
+                         sat_res, order, gs, gc)
         return rec_pos, fails
 
     def _update_dop(self, rec, sat_res, order, gs, gc) -> None:
@@ -925,6 +979,6 @@ def _solve_fixes_many(mids: list) -> list[dict]:
         return fixes_per
     i = 0
     for s, _ev, p in live:
-        fixes_per[s] = dict(enumerate(res[i:i + p["E"]]))
+        fixes_per[s] = res[i:i + p["E"]]        # FixBatch slice view
         i += p["E"]
     return fixes_per

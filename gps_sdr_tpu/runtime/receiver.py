@@ -42,6 +42,7 @@ from gps_sdr_tpu.ops.tracking import (ChannelOut, cn0_from_amp,
                                       unpack_outs_compact)
 from gps_sdr_tpu.runtime.channelmgr import SlotTable, select_sats
 from gps_sdr_tpu.runtime.evaluator import EpochInput
+from gps_sdr_tpu.utils.cplist import CodePhaseList
 
 
 @dataclass
@@ -285,13 +286,11 @@ class Receiver:
             cp = outs.code_phase[:, slot]
             ok = np.nonzero(cp >= 0)[0]
             if ok.size:
-                snos = (stream0 + ok).tolist()
-                coph[prn] = list(zip(snos,
-                                     cp[ok].astype(float).tolist()))
+                snos = stream0 + ok
+                coph[prn] = CodePhaseList(snos, cp[ok])
                 if cfg.carrier_smoothing > 0:
                     fq = outs.freq[:, slot]
-                    cfrq[prn] = list(zip(snos,
-                                         fq[ok].astype(float).tolist()))
+                    cfrq[prn] = CodePhaseList(snos, fq[ok])
             self.corr_quality[prn] = (float(outs.corr_q[-1, slot]),
                                       float(outs.corr_l[-1, slot]))
 
