@@ -608,6 +608,7 @@ def main():
             evs = [Evaluator(cfg_sv) for _ in range(s_count)]
             t0 = None
             n_ep = 0
+            t_eval = 0.0
             # one epoch per window per stream, evaluated cross-stream
             # batched (process_many: one orbit pass per window); the
             # first (warm) window of all streams is excluded from
@@ -616,7 +617,9 @@ def main():
             for s, epoch in srv.run(provider_sv, chunks):
                 pend.append((evs[s], epoch))
                 if len(pend) == s_count:
+                    te = time.perf_counter()
                     process_many(pend)
+                    t_eval += time.perf_counter() - te
                     pend = []
                 n_ep += 1
                 if n_ep == s_count and t0 is None:
@@ -625,9 +628,12 @@ def main():
             wall = time.perf_counter() - t0
             warm_c = min(w_sv, chunks - 1)
             sig = (chunks - warm_c) * t_sv * cfg.block_sec
-            return wall, sig, evs
+            srv.perf["evaluate"] = round(t_eval, 3)
+            return wall, sig, evs, srv.perf
 
-        wall_sv, sig_sv, evs = serve_once(n_sv, n_chunks_sv)
+        wall_sv, sig_sv, evs, perf_sv = serve_once(n_sv, n_chunks_sv)
+        stress["serving_stage_sec"] = {
+            k: round(v, 3) for k, v in perf_sv.items()}
         fixes_sv = [len(e.positions) for e in evs]
         errs = [float(np.linalg.norm(e.stat[0] - scn_sv.rec_ecef))
                 for e in evs if e.stat is not None]
@@ -652,8 +658,8 @@ def main():
                 if s_count == n_sv:
                     continue          # reuse the flagship measurement
                 try:
-                    wall_c, sig_c, evs_c = serve_once(s_count,
-                                                      n_chunks_sv)
+                    wall_c, sig_c, evs_c, _pf = serve_once(s_count,
+                                                           n_chunks_sv)
                     curve[str(s_count)] = {
                         "aggregate_rtf": round(
                             s_count * sig_c / wall_c, 1),

@@ -118,7 +118,20 @@ class StreamServer:
         providers: one callable(first_block, n_blocks) -> device chunk
         shared by every stream (serving replicas of one capture), or a
         list of S callables (independent front ends).
+
+        Wall-clock stage totals accumulate in `self.perf` (seconds):
+        dispatch (provider + track_streams launch), pack, stack+async
+        copy, transfer (blocking np.asarray of a window), unpack (host
+        decode of packed buffers), consume (receiver nav/epoch build).
+        Evaluator time is the caller's — everything outside the
+        generator.  Cheap (a few perf_counter pairs per chunk); used by
+        bench to locate the serving knee.
         """
+        import time as _time
+        perf = self.perf = {k: 0.0 for k in (
+            "dispatch", "pack", "stack", "transfer", "unpack",
+            "consume")}
+        _pc = _time.perf_counter
         cfg = self.cfg
         s_n = self.n_streams
         if callable(providers):
@@ -140,6 +153,7 @@ class StreamServer:
             # consume of the previous window.
             if not held:
                 return
+            t0 = _pc()
             bufs = [p[1] for p in held]
             if w > 1:
                 bufs = bufs + [bufs[-1]] * (w - len(bufs))
@@ -149,6 +163,7 @@ class StreamServer:
             _copy_to_host_async(stacked)
             windows.append((held[:], stacked))
             held.clear()
+            perf["stack"] += _pc() - t0
 
         def consume_one(s, chunks, outs, stream0, poll, window=False):
             rec = self.receivers[s]
@@ -172,7 +187,10 @@ class StreamServer:
             n = len(windows) if count is None else count
             while n > 0 and windows:
                 take, stacked = windows.pop(0)
+                t0 = _pc()
                 host = np.asarray(stacked)     # ONE transfer per window
+                t1 = _pc()
+                perf["transfer"] += t1 - t0
                 per_stream = ([[] for _ in range(s_n)]
                               if cfg.epoch_per_window else None)
                 for i, ((chunks, _, stream0), win) in enumerate(
@@ -187,19 +205,28 @@ class StreamServer:
                         if per_stream is not None:
                             per_stream[s].append(outs)
                             continue
+                        t2 = _pc()
+                        perf["unpack"] += t2 - t1
                         yield s, consume_one(s, chunks, outs, stream0,
                                              poll)
+                        t1 = _pc()
+                        perf["consume"] += t1 - t2
                 if per_stream is not None:
+                    t2 = _pc()
+                    perf["unpack"] += t2 - t1
                     # one consume pass per stream over the whole window
                     # (== merge_epochs over its per-chunk epochs with
                     # defer_subframe_poll; see Receiver.run_device)
                     for s in range(s_n):
+                        t2 = _pc()
                         yield s, consume_one(
                             s, take[-1][0], concat_outs(per_stream[s]),
                             take[0][2], True, window=True)
+                        perf["consume"] += _pc() - t2
                 n -= 1
 
         for ci in range(n_chunks):
+            t0 = _pc()
             first = ci * t
             chunks = ([providers[0](first, t)] if shared
                       else [p(first, t) for p in providers])
@@ -229,10 +256,13 @@ class StreamServer:
             for rec in self.receivers:
                 rec.status.stream_no += t
                 rec.status.blocks_processed += t
+            t1 = _pc()
+            perf["dispatch"] += t1 - t0
             held.append((chunks,
                          _pack_streams(outs, cap,
                                        cfg.carrier_smoothing > 0),
                          stream0))
+            perf["pack"] += _pc() - t1
             if len(held) == w:
                 flush_held()
             if len(windows) >= inflight:
