@@ -614,6 +614,7 @@ def main():
             # first (warm) window of all streams is excluded from
             # timing
             pend = []
+            perf0 = {}
             for s, epoch in srv.run(provider_sv, chunks):
                 pend.append((evs[s], epoch))
                 if len(pend) == s_count:
@@ -624,12 +625,16 @@ def main():
                 n_ep += 1
                 if n_ep == s_count and t0 is None:
                     t0 = time.perf_counter()
+                    perf0 = dict(srv.perf)      # exclude warmup stages
+                    t_eval = 0.0
             process_many(pend)
             wall = time.perf_counter() - t0
             warm_c = min(w_sv, chunks - 1)
             sig = (chunks - warm_c) * t_sv * cfg.block_sec
-            srv.perf["evaluate"] = round(t_eval, 3)
-            return wall, sig, evs, srv.perf
+            perf = {k: v - perf0.get(k, 0.0) for k, v in
+                    srv.perf.items()}
+            perf["evaluate"] = t_eval
+            return wall, sig, evs, perf
 
         wall_sv, sig_sv, evs, perf_sv = serve_once(n_sv, n_chunks_sv)
         stress["serving_stage_sec"] = {

@@ -248,6 +248,17 @@ class ReceiverConfig:
                                     # window k+1 (throughput mode; adds
                                     # one window of result latency).
                                     # Identical outputs either way.
+    fused_window_dispatch: bool = True
+                                    # run a whole download window (w
+                                    # chunks) as ONE device program
+                                    # (track + pack scanned in-jit,
+                                    # ops/tracking.py track_window):
+                                    # the per-chunk remote-dispatch
+                                    # cost — the steady-state serving
+                                    # knee through the deployment
+                                    # tunnel — is paid once per window.
+                                    # Identical outputs; False keeps
+                                    # the per-chunk dispatch loop.
     defer_subframe_poll: bool = False
                                     # windowed device loops only: poll
                                     # nav decoders for subframes once

@@ -47,7 +47,7 @@ def _to_complex(planar):
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _synth_chunk_dev(cfg: ReceiverConfig, chips, params, amp, noise_std,
-                     seed0):
+                     seeds):
     """IQ for B blocks from per-interval linearized parameters.
 
     chips: f32[S, 1023]; params f32[7, B, n_cyc, S] stacked
@@ -83,9 +83,13 @@ def _synth_chunk_dev(cfg: ReceiverConfig, chips, params, amp, noise_std,
     out = jnp.stack([seg_re.reshape(b, n_cyc, cs),
                      seg_im.reshape(b, n_cyc, cs)], axis=1)
 
-    key = jax.random.fold_in(jax.random.PRNGKey(0),
-                             seed0.astype(jnp.int32))
-    keys = jax.random.split(key, b)
+    # noise keyed per ABSOLUTE block (seeds[b] = f(seed, first+b)), so
+    # the stream is invariant to how callers chunk their requests —
+    # chunk_planar(0, w*t) == w calls of t blocks (the fused-window
+    # dispatch fetches whole windows; host scenario.py keys the same
+    # way, rng((seed, first_block + b)))
+    keys = jax.vmap(lambda s: jax.random.fold_in(
+        jax.random.PRNGKey(0), s.astype(jnp.int32)))(seeds)
     noise = jax.vmap(lambda kk: jnp.stack(
         [jax.random.normal(kk, (n_cyc, cs), jnp.float32),
          jax.random.normal(jax.random.fold_in(kk, 1), (n_cyc, cs),
@@ -215,10 +219,12 @@ class DeviceScenarioSynth:
         (the canonical chunk layout; feeds the Pallas tracking path
         with no retile)."""
         p = np.stack(self._params(first_block, n_blocks))
-        seed0 = np.float32((self.seed * 7919 + first_block) % 8_388_608)
+        seeds = ((self.seed * 7919
+                  + np.arange(first_block, first_block + n_blocks))
+                 % 8_388_608).astype(np.float32)
         return _synth_chunk_dev(
             self.scn.cfg, self._chips, jnp.asarray(p),
-            self._amp, jnp.float32(self.noise_std), jnp.float32(seed0))
+            self._amp, jnp.float32(self.noise_std), jnp.asarray(seeds))
 
     def chunk(self, first_block: int, n_blocks: int) -> jax.Array:
         """complex64[n_blocks, ngps] on device."""

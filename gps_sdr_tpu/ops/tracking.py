@@ -1251,3 +1251,83 @@ def summarize_states(cfg: ReceiverConfig, states: ChannelState) -> dict:
         "amplitude_sigma": states.std_dev,
         "corr_cnt": states.corr_cnt.astype(jnp.float32),
     }
+
+
+# --- fused download-window dispatch ------------------------------------------
+#
+# Through the deployment tunnel every dispatched program pays a fixed
+# remote-call cost (~27 ms wall), so the steady-state serving loop was
+# dispatch-bound: 4 remote calls per chunk (provider slice, stream
+# broadcast, track_streams, pack) dwarfed the ~6 ms of device work they
+# launched (measured serving_stage_sec: dispatch 27.7 s + pack 17.0 s
+# against 0.1 s transfer + 2.1 s host).  The window programs below run
+# a WHOLE download window — w chunks of t blocks — as one jitted scan
+# that tracks and packs each chunk, returning the stacked transport
+# buffer [w(, S), L] the drain path already consumes.  One remote call
+# per window instead of 4w.
+
+
+def track_window_impl(cfg: ReceiverConfig, states: ChannelState,
+                      blocks: Array, stream_no0: Array, codes: Array,
+                      code_ffts: Array, cap: int,
+                      with_freq: bool = False
+                      ) -> tuple[ChannelState, Array]:
+    """Track + pack a window of w chunks in one program (one stream).
+
+    blocks [w, t, *iq]; returns (states, packed f32[w, L]) where row i
+    is pack_outs_compact of chunk i tracked at stream_no0 + i*t.
+    """
+    w, t = blocks.shape[0], blocks.shape[1]
+
+    def body(st, x):
+        blk, i = x
+        st, outs = track_chunk_batched_impl(
+            cfg, st, blk, jnp.asarray(stream_no0) + i * t, codes,
+            code_ffts)
+        return st, pack_outs_compact(outs, cap, with_freq)
+
+    return jax.lax.scan(body, states,
+                        (blocks, jnp.arange(w, dtype=jnp.int32)))
+
+
+track_window = functools.partial(
+    jax.jit, static_argnums=(0, 6, 7),
+    donate_argnums=(1,))(track_window_impl)
+
+
+def track_streams_window_impl(cfg: ReceiverConfig, states: ChannelState,
+                              blocks: Array, stream_no0: Array,
+                              codes: Array, code_ffts: Array, cap: int,
+                              with_freq: bool = False,
+                              shared: bool = True
+                              ) -> tuple[ChannelState, Array]:
+    """Track + pack a window of w chunks for S streams in one program.
+
+    shared=True (serving replicas of one capture): blocks [w, t, *iq],
+    broadcast over the stream axis per chunk.  shared=False
+    (independent front ends): blocks [w, S, t, *iq].  Returns (states,
+    packed f32[w, S, L]) — the _stack_windows layout StreamServer's
+    drain already unpacks.
+    """
+    t = blocks.shape[1] if shared else blocks.shape[2]
+    w = blocks.shape[0]
+    s_n = states.prn.shape[0]
+
+    def body(st, x):
+        blk, i = x
+        if shared:
+            blk = jnp.broadcast_to(blk[None], (s_n,) + blk.shape)
+        st, outs = track_streams_impl(cfg, st, blk,
+                                      jnp.asarray(stream_no0) + i * t,
+                                      codes, code_ffts)
+        packed = jax.vmap(
+            lambda o: pack_outs_compact(o, cap, with_freq))(outs)
+        return st, packed
+
+    return jax.lax.scan(body, states,
+                        (blocks, jnp.arange(w, dtype=jnp.int32)))
+
+
+track_streams_window = functools.partial(
+    jax.jit, static_argnums=(0, 6, 7, 8),
+    donate_argnums=(1,))(track_streams_window_impl)

@@ -39,7 +39,7 @@ from gps_sdr_tpu.ops.tracking import (ChannelOut, cn0_from_amp,
                                       reset_channel, summarize_states,
                                       to_f32_pairs, to_grouped_planar,
                                       track_chunk, track_chunk_batched,
-                                      unpack_outs_compact)
+                                      track_window, unpack_outs_compact)
 from gps_sdr_tpu.runtime.channelmgr import SlotTable, select_sats
 from gps_sdr_tpu.runtime.evaluator import EpochInput
 from gps_sdr_tpu.utils.cplist import CodePhaseList
@@ -428,10 +428,35 @@ class Receiver:
         # every subsequent code phase — the provider's `first` stays
         # relative to THIS call)
         base = self.status.stream_no
-        for ci in range(n_chunks):
+        # fused window dispatch: one device program tracks + packs a
+        # whole w-chunk window (track_window) — per-chunk remote
+        # dispatches through the deployment tunnel cost more wall time
+        # than the device work they launch (see StreamServer.run)
+        fused = cfg.fused_window_dispatch and w > 1
+        ci = 0
+        while ci < n_chunks:
             if self._stop:
                 break
             first = ci * t
+            if fused and ci + w <= n_chunks and not self.sweep_all:
+                flush_held()          # partial window from a cold start
+                win = _window_chunks(chunk_provider(first, w * t), w)
+                self.status.stream_no = base + first
+                stream0 = self.status.stream_no + 1
+                self.states, packed = track_window(
+                    cfg, self.states, win, jnp.float32(stream0),
+                    self._codes_dev, self._ffts_dev, cap,
+                    cfg.carrier_smoothing > 0)
+                self.status.stream_no += w * t
+                self.status.blocks_processed += w * t
+                _copy_to_host_async(packed)
+                windows.append((
+                    [(_WindowChunk(win, i), None, stream0 + i * t)
+                     for i in range(w)], packed))
+                ci += w
+                if len(windows) >= inflight:
+                    yield from drain(1)
+                continue
             blocks_dev = chunk_provider(first, t)
             if self.sweep_all:
                 # channel set changes states: drain the pipeline first.
@@ -448,6 +473,7 @@ class Receiver:
                          pack_outs_compact(outs_dev, cap,
                                            cfg.carrier_smoothing > 0),
                          stream0))
+            ci += 1
             if len(held) == w:
                 flush_held()
             if len(windows) >= inflight:
@@ -478,6 +504,37 @@ class _DeviceChunk:
     def __getitem__(self, i):
         if i == 0 or i == -1:   # sweep service uses single blocks
             return _download_block(self.blocks_dev, i)
+        raise IndexError(i)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _window_chunks(blocks, w: int):
+    """[w*t, *iq] -> [w, t, *iq]: the fused-window dispatch input."""
+    return blocks.reshape((w, blocks.shape[0] // w) + blocks.shape[1:])
+
+
+@jax.jit
+def _index_window(win_dev, ci):
+    return jax.lax.dynamic_index_in_dim(win_dev, ci, keepdims=False)
+
+
+class _WindowChunk:
+    """_DeviceChunk-compatible lazy view of chunk ci inside a fused
+    window buffer [w, t, *iq]: nothing touches the device unless a
+    channel sweep actually services this chunk (then one jitted slice
+    feeds the usual single-block download)."""
+
+    def __init__(self, win_dev, ci: int):
+        self.win_dev = win_dev
+        self.ci = ci
+
+    def __len__(self):
+        return self.win_dev.shape[1]
+
+    def __getitem__(self, i):
+        if i == 0 or i == -1:
+            return _download_block(
+                _index_window(self.win_dev, jnp.int32(self.ci)), i)
         raise IndexError(i)
 
 

@@ -24,8 +24,10 @@ import numpy as np
 
 from gps_sdr_tpu.config import ReceiverConfig
 from gps_sdr_tpu.ops.tracking import (pack_outs_compact, track_streams,
+                                      track_streams_window,
                                       unpack_outs_compact)
 from gps_sdr_tpu.runtime.receiver import (Receiver, _DeviceChunk,
+                                          _WindowChunk, _window_chunks,
                                           _copy_to_host_async,
                                           _download_block, concat_outs)
 
@@ -176,7 +178,8 @@ class StreamServer:
                           else outs.sweep_request[-1].any())
             if bool(want_sweep):
                 rec.states = _slice_stream(self._stacked, jnp.int32(s))
-            chunk = _DeviceChunk(chunks[s if not shared else 0])
+            c = chunks[s if not shared else 0]
+            chunk = c if isinstance(c, _WindowChunk) else _DeviceChunk(c)
             epoch, swept = rec._consume_chunk(chunk, outs, stream0, 0,
                                               poll=poll, window=window)
             if swept:
@@ -225,19 +228,27 @@ class StreamServer:
                         perf["consume"] += _pc() - t2
                 n -= 1
 
-        for ci in range(n_chunks):
+        # fused window dispatch: track + pack a whole w-chunk window as
+        # ONE device program (ops/tracking.py track_streams_window) —
+        # through the deployment tunnel the per-chunk dispatches were
+        # the steady-state serving knee (serving_stage_sec).  Shared
+        # providers only (serving replicas); independent front ends
+        # keep the per-chunk loop.
+        fused = (cfg.fused_window_dispatch and shared and w > 1)
+        ci = 0
+        while ci < n_chunks:
             t0 = _pc()
             first = ci * t
-            chunks = ([providers[0](first, t)] if shared
-                      else [p(first, t) for p in providers])
             if any(r.sweep_all for r in self.receivers):
                 flush_held()
                 yield from drain()
+                acq_chunks = ([providers[0](first, t)] if shared
+                              else [p(first, t) for p in providers])
                 for s, rec in enumerate(self.receivers):
                     if not rec.sweep_all:
                         continue
-                    blk0 = _download_block(chunks[s if not shared else 0],
-                                           0)
+                    blk0 = _download_block(
+                        acq_chunks[s if not shared else 0], 0)
                     if self._stacked is not None:
                         rec.states = _slice_stream(self._stacked,
                                                    jnp.int32(s))
@@ -247,6 +258,29 @@ class StreamServer:
                 if self._stacked is None:      # cold start: first stack
                     self._restack()
             stream0 = self.receivers[0].status.stream_no + 1
+            if fused and ci + w <= n_chunks:
+                flush_held()          # partial window from a cold start
+                win = _window_chunks(providers[0](first, w * t), w)
+                self._stacked, packed = track_streams_window(
+                    cfg, self._stacked, win, jnp.float32(stream0),
+                    self._codes_dev, self._ffts_dev, cap,
+                    cfg.carrier_smoothing > 0, True)
+                for rec in self.receivers:
+                    rec.status.stream_no += w * t
+                    rec.status.blocks_processed += w * t
+                t1 = _pc()
+                perf["dispatch"] += t1 - t0
+                _copy_to_host_async(packed)
+                windows.append((
+                    [([_WindowChunk(win, i)], None, stream0 + i * t)
+                     for i in range(w)], packed))
+                perf["stack"] += _pc() - t1
+                ci += w
+                if len(windows) >= inflight:
+                    yield from drain(1)
+                continue
+            chunks = ([providers[0](first, t)] if shared
+                      else [p(first, t) for p in providers])
             blocks = self._put(jnp.broadcast_to(
                 chunks[0][None], (s_n,) + chunks[0].shape)
                 if shared else jnp.stack(chunks))
@@ -263,6 +297,7 @@ class StreamServer:
                                        cfg.carrier_smoothing > 0),
                          stream0))
             perf["pack"] += _pc() - t1
+            ci += 1
             if len(held) == w:
                 flush_held()
             if len(windows) >= inflight:

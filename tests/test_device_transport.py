@@ -200,3 +200,24 @@ def test_defer_subframe_poll_window_equivalent():
             sorted(runs[False][1][k].code_phases.items())
         last = runs[False][0][k * w + w - 1]
         assert key([we]) == key([last])
+
+
+def test_run_device_fused_window_identical():
+    """fused_window_dispatch=True (track_window: one device program per
+    download window) must yield the identical epoch stream as the
+    per-chunk dispatch loop, including the partial per-chunk tail when
+    n_chunks is not divisible by the window."""
+    sats = SATS
+    n_chunks = 5                    # 2 fused windows + 1 tail chunk
+    t = 24
+    epochs = {}
+    for fused in (False, True):
+        cfg = CFG.replace(max_sat=2, chunks_per_download=2,
+                          download_windows_in_flight=2,
+                          fused_window_dispatch=fused)
+        synth = JaxSynth(cfg, sats, noise_std=0.2, seed=9)
+        r = _primed_receiver(cfg, sats)
+        epochs[fused] = list(r.run_device(synth.chunk_planar, n_chunks,
+                                          chunk_blocks=t))
+        assert r.status.edge_overflows == 0
+    assert _frames_key(epochs[True]) == _frames_key(epochs[False])

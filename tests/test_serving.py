@@ -195,3 +195,28 @@ def test_process_many_heterogeneous_streams():
         pa, pb = np.asarray(a.positions), np.asarray(b.positions)
         np.testing.assert_allclose(pa[:, 1:], pb[:, 1:], atol=1e-4)
         np.testing.assert_allclose(pa[:, 0], pb[:, 0], atol=1e-9)
+
+
+def test_fused_window_dispatch_identical():
+    """fused_window_dispatch=True (one track+pack program per download
+    window, ops/tracking.py track_streams_window) must yield the
+    identical epoch stream as the per-chunk dispatch loop — it is a
+    pure dispatch-batching change."""
+    scn = make_scenario(CFG, n_sats=4, duration_sec=SEC + 6.0, seed=5)
+    dev = DeviceScenarioSynth(scn, noise_std=0.4)
+    t = CFG.no_sec
+    n_chunks = int(round(SEC / (t * CFG.block_sec)))
+    got = {}
+    for fused in (False, True):
+        cfg = CFG.replace(chunks_per_download=2,
+                          download_windows_in_flight=2,
+                          fused_window_dispatch=fused)
+        srv = StreamServer(cfg, 2)
+        eps = {0: [], 1: []}
+        for s, epoch in srv.run(dev.chunk_planar, n_chunks):
+            eps[s].append(epoch)
+        got[fused] = eps
+    for s in (0, 1):
+        assert len(got[True][s]) == len(got[False][s]) > 0
+        for ea, eb in zip(got[True][s], got[False][s]):
+            _epochs_equal(ea, eb)
