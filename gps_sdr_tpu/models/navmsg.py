@@ -242,6 +242,38 @@ def check_and_unscramble(sub300: np.ndarray) -> np.ndarray | None:
     return w
 
 
+def _field_matrix(fields) -> tuple[np.ndarray, list]:
+    """Weight matrix W int64[n_fields, 300] with W @ flat_source_bits
+    giving every field's raw integer at once (signed fields carry a
+    negative MSB weight — two's complement as a dot product).  Returns
+    (W, [(name, scale)]).  Cached per fields tuple: decode_subframe ran
+    one _bits_to_int per field, and at the serving path's aggregate
+    subframe rate the per-field Python loop was most of the host
+    consume stage."""
+    key = id(fields)
+    hit = _FIELD_MATRICES.get(key)
+    if hit is not None:
+        return hit
+    W = np.zeros((len(fields), SUBFRAME_BITS), np.int64)
+    meta = []
+    for fi, (name, spans, signed, scale) in enumerate(fields):
+        n = sum(hi - lo for _, lo, hi in spans)
+        k = 0
+        for wi, lo, hi in spans:
+            for b in range(lo, hi):
+                wgt = np.int64(1) << (n - 1 - k)
+                if signed and k == 0:
+                    wgt = -wgt
+                W[fi, wi * 30 + b] = wgt
+                k += 1
+        meta.append((name, scale))
+    _FIELD_MATRICES[key] = (W, meta)
+    return W, meta
+
+
+_FIELD_MATRICES: dict = {}
+
+
 def decode_subframe(sub300: np.ndarray) -> dict | None:
     """300 transmitted bits -> field dict, or None if invalid.
 
@@ -252,22 +284,23 @@ def decode_subframe(sub300: np.ndarray) -> dict | None:
     w = check_and_unscramble(np.asarray(sub300))
     if w is None:
         return None
-    out = {}
-    for name, spans, signed, scale in _COMMON:
-        bits = np.concatenate([w[wi, lo:hi] for wi, lo, hi in spans])
-        out[name] = _bits_to_int(bits, signed)
+    flat = w.reshape(-1).astype(np.int64)
+    Wc, mc = _field_matrix(_COMMON)
+    vals = Wc @ flat
+    out = {name: int(v) for (name, _), v in zip(mc, vals)}
     sf_id = out["ID"]
     if not 1 <= sf_id <= 5:
         return None
-    for name, spans, signed, scale in _SF_FIELDS[sf_id]:
-        bits = np.concatenate([w[wi, lo:hi] for wi, lo, hi in spans])
-        v = _bits_to_int(bits, signed) * scale
-        out[name] = v if scale != 1 else int(v)
-    for name, spans, signed, scale in _page_fields(
-            sf_id, out.get("dataID", 0), out.get("svID", 0)):
-        bits = np.concatenate([w[wi, lo:hi] for wi, lo, hi in spans])
-        v = _bits_to_int(bits, signed) * scale
-        out[name] = v if scale != 1 else int(v)
+    def apply(fields):
+        if fields:
+            Wf, mf = _field_matrix(fields)
+            for (name, scale), v in zip(mf, Wf @ flat):
+                out[name] = int(v) if scale == 1 else v * scale
+
+    apply(_SF_FIELDS[sf_id])
+    # page tables key off dataID/svID, themselves subframe fields
+    apply(_page_fields(sf_id, out.get("dataID", 0),
+                       out.get("svID", 0)))
     return out
 
 
@@ -365,7 +398,11 @@ class NavDecoder:
 
     ngps: int
     last_sign: int = 0
-    edges: list = field(default_factory=list)    # [(ms, sample_time)]
+    # edge events as array parts [(ms int64[k], st int64[k]), ...] —
+    # appended per chunk, concatenated once per poll (the per-edge
+    # tuple churn was a measurable slice of the serving consume stage);
+    # the `edges` property keeps the list-of-(ms, st) view
+    edge_parts: list = field(default_factory=list)
     bits: np.ndarray = field(
         default_factory=lambda: np.zeros(0, np.int8))
     bits_st: np.ndarray = field(
@@ -383,11 +420,34 @@ class NavDecoder:
     # boundary.  Sample time is absolute and shard-invariant, so this
     # mode makes decode agnostic to how tracking was sharded.
 
+    @property
+    def edges(self) -> list:
+        """List-of-(ms, st) view of the pending edge events (tests,
+        introspection; the hot paths use edge_parts directly)."""
+        if not self.edge_parts:
+            return []
+        ms = np.concatenate([p[0] for p in self.edge_parts])
+        st = np.concatenate([p[1] for p in self.edge_parts])
+        return list(zip(ms.tolist(), st.tolist()))
+
+    @edges.setter
+    def edges(self, pairs) -> None:
+        if len(pairs):
+            ms = np.fromiter((e[0] for e in pairs), np.int64, len(pairs))
+            st = np.fromiter((e[1] for e in pairs), np.int64, len(pairs))
+            self.edge_parts = [(ms, st)]
+        else:
+            self.edge_parts = []
+
+    @property
+    def n_edges(self) -> int:
+        return sum(p[0].shape[0] for p in self.edge_parts)
+
     def erase(self):
         """Stream skip: drop edge/bit continuity (erasePrevData,
         gpslib.py:1095-1099)."""
         self.last_sign = 0
-        self.edges = []
+        self.edge_parts = []
         self.bits = np.zeros(0, np.int8)
         self.bits_st = np.zeros(0, np.int64)
 
@@ -405,7 +465,8 @@ class NavDecoder:
                 st = base + int(loc)
                 m = (st // self.ms_from_st if self.ms_from_st
                      else int(ms))
-                self.edges.append((int(m), st))
+                self.edge_parts.append(
+                    (np.array([m], np.int64), np.array([st], np.int64)))
 
     def push_chunk(self, sign0: np.ndarray, edge_ms: np.ndarray,
                    edge_local: np.ndarray, edge_valid: np.ndarray,
@@ -433,22 +494,22 @@ class NavDecoder:
                                              dtype=np.int64)
         st = t[:, None] * self.ngps + edge_local.astype(np.int64)
         sel = edge_valid.astype(bool)
-        ms = (st[sel] // self.ms_from_st if self.ms_from_st
+        stv = st[sel]
+        ms = (stv // self.ms_from_st if self.ms_from_st
               else edge_ms[sel].astype(np.int64))
-        self.edges.extend(zip(ms.tolist(), st[sel].tolist()))
+        if stv.size:
+            self.edge_parts.append((ms, stv))
 
     def _frame_bits(self) -> tuple[np.ndarray, np.ndarray]:
         """Edges -> logical bits with 20 ms framing and r>17 rounding
         (logicalBits, gpslib.py:1465-1492).  Consumes all but the last
         edge; flips the running sign once per edge."""
-        if len(self.edges) < 2:
+        if self.n_edges < 2:
             return np.zeros(0, np.int8), np.zeros(0, np.int64)
         # vectorized over intervals: interval j (between edges j, j+1)
         # carries sign last_sign * (-1)^j and rounds to m_j bits
-        t = np.fromiter((e[0] for e in self.edges), np.int64,
-                        len(self.edges))
-        st = np.fromiter((e[1] for e in self.edges), np.int64,
-                         len(self.edges))
+        t = np.concatenate([p[0] for p in self.edge_parts])
+        st = np.concatenate([p[1] for p in self.edge_parts])
         m, r = np.divmod(np.diff(t), 20)
         m += r > 17
         k = m.shape[0]
@@ -459,7 +520,7 @@ class NavDecoder:
         startpos = np.concatenate([[0], np.cumsum(m)[:-1]])
         has = m > 0
         sts[startpos[has]] = st[:-1][has]
-        self.edges = [self.edges[-1]]
+        self.edge_parts = [(t[-1:], st[-1:])]
         self.last_sign = int(self.last_sign * (-1) ** k)
         return bits, sts
 
