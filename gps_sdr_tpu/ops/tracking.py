@@ -1178,6 +1178,62 @@ def unpack_outs_compact(buf: np.ndarray, t: int, c: int, sl: int,
     return outs, np.maximum(nv - cap, 0)
 
 
+class CompactWindow(NamedTuple):
+    """Host view of a whole download window's packed transport rows
+    WITHOUT the dense edge-plane scatter.
+
+    unpack_outs_compact rebuilds [T, C, n_cyc+1] dense edge planes that
+    the nav decoder immediately re-sparsifies (push_chunk) — at serving
+    scale that round trip plus the per-chunk unpack loop was a
+    measurable slice of the host consume budget.  This view keeps the
+    edges sparse exactly as packed (sorted by flat block*sl+slot) and
+    slices the whole [w, L] window in one pass."""
+
+    code_phase: np.ndarray        # [w*t, C] f32
+    aux: np.ndarray               # [w*t, C] int8: sign0+1 + 4*erased
+    freq: np.ndarray | None       # [w*t, C] f32 (with_freq only)
+    last: np.ndarray              # [w, C, 7] f32, _LAST_FIELDS columns
+    edge_pos: np.ndarray          # [w, C, cap] int64 flat pos, -1 pad
+    edge_ms: np.ndarray           # [w, C, cap] int64 absolute ms
+    edge_local: np.ndarray        # [w, C, cap] int32 sample-in-block
+    dropped: np.ndarray           # [w, C] int64 edges past cap
+
+
+# _LAST_FIELDS column indices (CompactWindow.last[..., i])
+_LAST_IDX = {n: i for i, n in enumerate(_LAST_FIELDS)}
+
+
+def unpack_window_compact(rows: np.ndarray, t: int, c: int, sl: int,
+                          cap: int,
+                          with_freq: bool = False) -> CompactWindow:
+    """One host pass over a window's packed rows [w, L] (layout:
+    pack_outs_compact) -> CompactWindow."""
+    rows = np.asarray(rows)
+    w = rows.shape[0]
+    cap = min(cap, t * sl)
+    nb = 3 if with_freq else 2
+    off = t * c * nb
+    blocky = rows[:, :off].reshape(w, t, c, nb)
+    last = rows[:, off:off + c * 7].reshape(w, c, 7)
+    off += c * 7
+    base = (np.rint(rows[:, off:off + c]).astype(np.int64)
+            * _EDGE_MS_SPLIT
+            + np.rint(rows[:, off + c:off + 2 * c]).astype(np.int64))
+    off += 2 * c
+    edges = rows[:, off:off + c * cap * 3].reshape(w, c, cap, 3)
+    off += c * cap * 3
+    nv = np.rint(rows[:, off:off + c]).astype(np.int64)
+    pos = np.rint(edges[..., 0]).astype(np.int64)
+    ms = base[:, :, None] + np.rint(edges[..., 1]).astype(np.int64)
+    return CompactWindow(
+        code_phase=blocky[..., 0].reshape(w * t, c),
+        aux=np.rint(blocky[..., 1]).astype(np.int8).reshape(w * t, c),
+        freq=(blocky[..., 2].reshape(w * t, c) if with_freq else None),
+        last=last, edge_pos=pos, edge_ms=ms,
+        edge_local=np.rint(edges[..., 2]).astype(np.int32),
+        dropped=np.maximum(nv - cap, 0))
+
+
 # ChannelState leaf dtypes (for the f32-safe checkpoint pack below)
 _STATE_DTYPES = {
     "prn": jnp.int32, "active": bool, "freq": jnp.float32,

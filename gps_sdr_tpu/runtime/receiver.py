@@ -33,13 +33,15 @@ from gps_sdr_tpu.config import ReceiverConfig
 from gps_sdr_tpu.models.navmsg import NavDecoder
 from gps_sdr_tpu.ops import cacode
 from gps_sdr_tpu.ops.acquisition import acquire_all
-from gps_sdr_tpu.ops.tracking import (ChannelOut, cn0_from_amp,
+from gps_sdr_tpu.ops.tracking import (ChannelOut, _LAST_IDX,
+                                      cn0_from_amp,
                                       init_channel_states,
                                       outs_to_numpy, pack_outs_compact,
                                       reset_channel, summarize_states,
                                       to_f32_pairs, to_grouped_planar,
                                       track_chunk, track_chunk_batched,
-                                      track_window, unpack_outs_compact)
+                                      track_window, unpack_outs_compact,
+                                      unpack_window_compact)
 from gps_sdr_tpu.runtime.channelmgr import SlotTable, select_sats
 from gps_sdr_tpu.runtime.evaluator import EpochInput
 from gps_sdr_tpu.utils.cplist import CodePhaseList
@@ -333,6 +335,109 @@ class Receiver:
                            carrier_freqs=cfrq or None)
         return epoch, swept
 
+    def _consume_window_compact(self, chunk, cw, stream0: int, t: int,
+                                poll: bool = True):
+        """Window-mode consume straight from a CompactWindow (sparse
+        transport view, ops/tracking.py unpack_window_compact): the
+        dense-plane scatter + per-chunk concat of the unpack path is
+        skipped entirely.  Epoch-for-epoch identical to
+        _consume_chunk(concat_outs(...), window=True) — pinned by the
+        epoch_per_window equivalence tests.  `chunk` is the last
+        chunk's block handle (sweep service)."""
+        cfg = self.cfg
+        sl = self._edge_sl
+        w = cw.last.shape[0]
+        li = _LAST_IDX
+
+        coph: dict = {}
+        cfrq: dict = {}
+        for slot, prn in enumerate(self.slots.slot_prn):
+            if prn == 0:
+                continue
+            aux = cw.aux[:, slot]
+            dec = self.decoders[slot]
+            pos = cw.edge_pos[:, slot]                     # [w, cap]
+            valid = pos >= 0
+            if (aux >= 4).any():
+                # rare (slot reset mid-window): rebuild this channel's
+                # dense planes and take the exact per-block erase path
+                T = w * t
+                ms_d = np.zeros((T, sl), np.int32)
+                loc_d = np.zeros((T, sl), np.int32)
+                val_d = np.zeros((T, sl), bool)
+                wk, ek = np.nonzero(valid)
+                if wk.size:
+                    fp = pos[wk, ek]
+                    tb = wk * t + fp // sl
+                    es = fp % sl
+                    ms_d[tb, es] = cw.edge_ms[:, slot][wk, ek]
+                    loc_d[tb, es] = cw.edge_local[:, slot][wk, ek]
+                    val_d[tb, es] = True
+                dec.push_chunk((aux % 4 - 1).astype(np.int8), ms_d,
+                               loc_d, val_d, stream_no0=stream0,
+                               erased=aux >= 4)
+            else:
+                if dec.last_sign == 0:
+                    nz = np.nonzero(aux != 1)[0]
+                    if nz.size:
+                        dec.last_sign = int(aux[nz[0]]) - 1
+                wk, ek = np.nonzero(valid)
+                if wk.size:
+                    fp = pos[wk, ek]
+                    blk = np.int64(stream0) + wk * t + fp // sl
+                    st = blk * cfg.ngps \
+                        + cw.edge_local[:, slot][wk, ek]
+                    ms = (st // dec.ms_from_st if dec.ms_from_st
+                          else cw.edge_ms[:, slot][wk, ek])
+                    dec.edge_parts.append((ms.astype(np.int64), st))
+            cp = cw.code_phase[:, slot]
+            ok = np.nonzero(cp >= 0)[0]
+            if ok.size:
+                snos = stream0 + ok
+                coph[prn] = CodePhaseList(snos, cp[ok])
+                if cfg.carrier_smoothing > 0:
+                    cfrq[prn] = CodePhaseList(snos,
+                                              cw.freq[:, slot][ok])
+            self.corr_quality[prn] = (
+                float(cw.last[-1, slot, li["corr_q"]]),
+                float(cw.last[-1, slot, li["corr_l"]]))
+
+        frames: list = []
+        for slot, prn in enumerate(self.slots.slot_prn):
+            if prn == 0:
+                continue
+            was_locked = bool(
+                (cw.last[:, slot, li["locked"]] > 0.5).any())
+            subs = (self.decoders[slot].poll_subframes()
+                    if poll and was_locked else [])
+            if not subs:
+                subs = [{}]
+            amp = float(cw.last[-1, slot, li["amplitude"]])
+            for sf in subs:
+                sf["SAT"] = prn
+                sf["AMP"] = amp
+                sf["CN0"] = float(cn0_from_amp(amp))
+                sf["CRM"] = float(cw.last[-1, slot, li["norm_max"]])
+                sf["FRQ"] = float(cw.last[-1, slot, li["freq"]])
+                sf["SWP"] = False
+            frames += subs
+
+        req_flags = (cw.last[:, :, li["sweep_request"]] > 0.5).any(axis=0)
+        req = [s for s in range(cfg.max_sat)
+               if req_flags[s] and self.slots.slot_prn[s] != 0]
+        swept = []
+        if req:
+            swept = self._serve_channel_sweeps(np.asarray(chunk[-1]), req)
+            for sf in frames:
+                if self.slots.slot_prn and sf.get("SAT") in \
+                        [self.slots.slot_prn[s] for s in swept]:
+                    sf["SWP"] = True
+
+        epoch = EpochInput(skipped_samples=0, frames=frames,
+                           code_phases=coph,
+                           carrier_freqs=cfrq or None)
+        return epoch, swept
+
     def _process_chunk(self, chunk, swept_slots, skipped):
         epoch, _ = self._run_chunk(chunk, skipped)
         return epoch
@@ -395,30 +500,29 @@ class Receiver:
             while n > 0 and windows:
                 take, stacked = windows.pop(0)
                 host = np.asarray(stacked)  # ONE tunnel transfer/window
-                outs_list = []
+                if cfg.epoch_per_window:
+                    # one consume pass over the whole window, straight
+                    # from the sparse transport view (== per-chunk
+                    # consumes merged, see _consume_window_compact)
+                    cw = unpack_window_compact(
+                        host[:len(take)], len(take[0][0]), cfg.max_sat,
+                        self._edge_sl, cap, cfg.carrier_smoothing > 0)
+                    self.status.edge_overflows += int(cw.dropped.sum())
+                    yield self._consume_window_compact(
+                        take[-1][0], cw, take[0][2],
+                        len(take[0][0]))[0]
+                    n -= 1
+                    continue
                 for i, ((chunk, _, stream0), row) in enumerate(
                         zip(take, host)):
                     outs, dropped = unpack_outs_compact(
                         row, len(chunk), cfg.max_sat,
                         self._edge_sl, cap, cfg.carrier_smoothing > 0)
                     self.status.edge_overflows += int(dropped.sum())
-                    if cfg.epoch_per_window:
-                        outs_list.append(outs)
-                        continue
                     poll = (not cfg.defer_subframe_poll
                             or i == len(take) - 1)
                     yield self._consume_chunk(chunk, outs, stream0, 0,
                                               poll=poll)[0]
-                if outs_list:
-                    # one consume pass over the whole window: the chunk
-                    # outputs concatenate along the block axis (stream
-                    # numbers are contiguous in device loops), which is
-                    # exactly merge_epochs over the per-chunk epochs
-                    # with defer_subframe_poll
-                    yield self._consume_chunk(take[-1][0],
-                                              concat_outs(outs_list),
-                                              take[0][2], 0,
-                                              window=True)[0]
                 n -= 1
 
         # stream numbering continues from wherever this receiver left

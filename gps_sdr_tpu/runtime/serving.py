@@ -23,13 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from gps_sdr_tpu.config import ReceiverConfig
-from gps_sdr_tpu.ops.tracking import (pack_outs_compact, track_streams,
+from gps_sdr_tpu.ops.tracking import (_LAST_IDX, pack_outs_compact,
+                                      track_streams,
                                       track_streams_window,
-                                      unpack_outs_compact)
+                                      unpack_outs_compact,
+                                      unpack_window_compact)
 from gps_sdr_tpu.runtime.receiver import (Receiver, _DeviceChunk,
                                           _WindowChunk, _window_chunks,
                                           _copy_to_host_async,
-                                          _download_block, concat_outs)
+                                          _download_block)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -186,6 +188,21 @@ class StreamServer:
                 self._scatter_stream(s)
             return epoch
 
+        def consume_window(s, chunks, cw, stream0):
+            # window-mode consume_one over the sparse transport view
+            rec = self.receivers[s]
+            want_sweep = (cw.last[:, :, _LAST_IDX["sweep_request"]]
+                          > 0.5).any()
+            if bool(want_sweep):
+                rec.states = _slice_stream(self._stacked, jnp.int32(s))
+            c = chunks[s if not shared else 0]
+            chunk = c if isinstance(c, _WindowChunk) else _DeviceChunk(c)
+            epoch, swept = rec._consume_window_compact(chunk, cw,
+                                                       stream0, t)
+            if swept:
+                self._scatter_stream(s)
+            return epoch
+
         def drain(count=None):
             n = len(windows) if count is None else count
             while n > 0 and windows:
@@ -194,8 +211,26 @@ class StreamServer:
                 host = np.asarray(stacked)     # ONE transfer per window
                 t1 = _pc()
                 perf["transfer"] += t1 - t0
-                per_stream = ([[] for _ in range(s_n)]
-                              if cfg.epoch_per_window else None)
+                if cfg.epoch_per_window:
+                    # one consume pass per stream over the whole window
+                    # straight from the sparse transport view (== the
+                    # per-chunk epochs merged with defer_subframe_poll;
+                    # see Receiver._consume_window_compact)
+                    hw = host[:len(take)]             # [w', S, L]
+                    for s, rec in enumerate(self.receivers):
+                        t2 = _pc()
+                        cw = unpack_window_compact(
+                            hw[:, s], t, cfg.max_sat, sl, cap,
+                            cfg.carrier_smoothing > 0)
+                        rec.status.edge_overflows += int(
+                            cw.dropped.sum())
+                        t3 = _pc()
+                        perf["unpack"] += t3 - t2
+                        yield s, consume_window(s, take[-1][0], cw,
+                                                take[0][2])
+                        perf["consume"] += _pc() - t3
+                    n -= 1
+                    continue
                 for i, ((chunks, _, stream0), win) in enumerate(
                         zip(take, host)):
                     poll = (not cfg.defer_subframe_poll
@@ -205,27 +240,12 @@ class StreamServer:
                             win[s], t, cfg.max_sat, sl, cap,
                             cfg.carrier_smoothing > 0)
                         rec.status.edge_overflows += int(dropped.sum())
-                        if per_stream is not None:
-                            per_stream[s].append(outs)
-                            continue
                         t2 = _pc()
                         perf["unpack"] += t2 - t1
                         yield s, consume_one(s, chunks, outs, stream0,
                                              poll)
                         t1 = _pc()
                         perf["consume"] += t1 - t2
-                if per_stream is not None:
-                    t2 = _pc()
-                    perf["unpack"] += t2 - t1
-                    # one consume pass per stream over the whole window
-                    # (== merge_epochs over its per-chunk epochs with
-                    # defer_subframe_poll; see Receiver.run_device)
-                    for s in range(s_n):
-                        t2 = _pc()
-                        yield s, consume_one(
-                            s, take[-1][0], concat_outs(per_stream[s]),
-                            take[0][2], True, window=True)
-                        perf["consume"] += _pc() - t2
                 n -= 1
 
         # fused window dispatch: track + pack a whole w-chunk window as
