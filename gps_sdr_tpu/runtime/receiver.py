@@ -622,23 +622,35 @@ def _index_window(win_dev, ci):
     return jax.lax.dynamic_index_in_dim(win_dev, ci, keepdims=False)
 
 
+@jax.jit
+def _index_window_stream(win_dev, ci, si):
+    chunk = jax.lax.dynamic_index_in_dim(win_dev, ci, keepdims=False)
+    return jax.lax.dynamic_index_in_dim(chunk, si, keepdims=False)
+
+
 class _WindowChunk:
     """_DeviceChunk-compatible lazy view of chunk ci inside a fused
-    window buffer [w, t, *iq]: nothing touches the device unless a
-    channel sweep actually services this chunk (then one jitted slice
-    feeds the usual single-block download)."""
+    window buffer [w, t, *iq] (or [w, S, t, *iq] with a stream index,
+    independent-front-end serving): nothing touches the device unless
+    a channel sweep actually services this chunk (then one jitted
+    slice feeds the usual single-block download)."""
 
-    def __init__(self, win_dev, ci: int):
+    def __init__(self, win_dev, ci: int, si: int | None = None):
         self.win_dev = win_dev
         self.ci = ci
+        self.si = si
 
     def __len__(self):
-        return self.win_dev.shape[1]
+        return self.win_dev.shape[1 if self.si is None else 2]
 
     def __getitem__(self, i):
         if i == 0 or i == -1:
-            return _download_block(
-                _index_window(self.win_dev, jnp.int32(self.ci)), i)
+            if self.si is None:
+                chunk = _index_window(self.win_dev, jnp.int32(self.ci))
+            else:
+                chunk = _index_window_stream(
+                    self.win_dev, jnp.int32(self.ci), jnp.int32(self.si))
+            return _download_block(chunk, i)
         raise IndexError(i)
 
 

@@ -45,6 +45,15 @@ def _stack_windows(*bufs):
     return jnp.stack(bufs)                      # [N, S, L]
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _stack_stream_windows(w: int, *bufs):
+    """S per-stream window fetches [w*t, *iq] -> [w, S, t, *iq] (the
+    shared=False track_streams_window layout)."""
+    x = jnp.stack(bufs)                         # [S, w*t, *iq]
+    x = x.reshape((x.shape[0], w, x.shape[1] // w) + x.shape[2:])
+    return jnp.moveaxis(x, 0, 1)
+
+
 @jax.jit
 def _slice_stream(tree, s):
     """One stream's state slice as ONE jitted program.  Eagerly
@@ -252,9 +261,11 @@ class StreamServer:
         # ONE device program (ops/tracking.py track_streams_window) —
         # through the deployment tunnel the per-chunk dispatches were
         # the steady-state serving knee (serving_stage_sec).  Shared
-        # providers only (serving replicas); independent front ends
-        # keep the per-chunk loop.
-        fused = (cfg.fused_window_dispatch and shared and w > 1)
+        # providers broadcast one window; independent front ends stack
+        # S windows [w, S, t, *iq] (note: each in-flight window then
+        # retains S chunks of IQ on device until drained — size
+        # download_windows_in_flight accordingly).
+        fused = (cfg.fused_window_dispatch and w > 1)
         ci = 0
         while ci < n_chunks:
             t0 = _pc()
@@ -280,11 +291,24 @@ class StreamServer:
             stream0 = self.receivers[0].status.stream_no + 1
             if fused and ci + w <= n_chunks:
                 flush_held()          # partial window from a cold start
-                win = _window_chunks(providers[0](first, w * t), w)
+                if shared:
+                    win = _window_chunks(providers[0](first, w * t), w)
+
+                    def mk(i):
+                        return [_WindowChunk(win, i)]
+                else:
+                    win = _stack_stream_windows(
+                        w, *[p(first, w * t) for p in providers])
+
+                    def mk(i):
+                        return [_WindowChunk(win, i, s)
+                                for s in range(s_n)]
+                # (no _put: the window's stream axis is interior —
+                # GSPMD propagates the layout from the stacked states)
                 self._stacked, packed = track_streams_window(
                     cfg, self._stacked, win, jnp.float32(stream0),
                     self._codes_dev, self._ffts_dev, cap,
-                    cfg.carrier_smoothing > 0, True)
+                    cfg.carrier_smoothing > 0, shared)
                 for rec in self.receivers:
                     rec.status.stream_no += w * t
                     rec.status.blocks_processed += w * t
@@ -292,7 +316,7 @@ class StreamServer:
                 perf["dispatch"] += t1 - t0
                 _copy_to_host_async(packed)
                 windows.append((
-                    [([_WindowChunk(win, i)], None, stream0 + i * t)
+                    [(mk(i), None, stream0 + i * t)
                      for i in range(w)], packed))
                 perf["stack"] += _pc() - t1
                 ci += w

@@ -220,3 +220,33 @@ def test_fused_window_dispatch_identical():
         assert len(got[True][s]) == len(got[False][s]) > 0
         for ea, eb in zip(got[True][s], got[False][s]):
             _epochs_equal(ea, eb)
+
+
+def test_fused_window_independent_providers_identical():
+    """Independent front ends (one provider per stream): the fused
+    window dispatch stacks S windows ([w, S, t, *iq]) and must yield
+    exactly what the per-chunk loop yields for each stream."""
+    t = CFG.no_sec
+    n_chunks = int(round(SEC / (t * CFG.block_sec)))
+    devs = [DeviceScenarioSynth(
+        make_scenario(CFG, n_sats=4, duration_sec=SEC + 6.0, seed=sd),
+        noise_std=0.4) for sd in (5, 11)]
+    got = {}
+    for fused in (False, True):
+        cfg = CFG.replace(chunks_per_download=2,
+                          download_windows_in_flight=2,
+                          fused_window_dispatch=fused)
+        srv = StreamServer(cfg, 2)
+        eps = {0: [], 1: []}
+        for s, epoch in srv.run([d.chunk_planar for d in devs],
+                                n_chunks):
+            eps[s].append(epoch)
+        got[fused] = eps
+    # the two streams see different skies - must differ from each other
+    assert not all(
+        sorted(a.code_phases) == sorted(b.code_phases)
+        for a, b in zip(got[True][0], got[True][1]))
+    for s in (0, 1):
+        assert len(got[True][s]) == len(got[False][s]) > 0
+        for ea, eb in zip(got[True][s], got[False][s]):
+            _epochs_equal(ea, eb)
