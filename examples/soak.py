@@ -15,7 +15,7 @@ synth parameterization; at ~200x realtime the whole 2 h run is minutes
 of wall time on one chip.
 
 Usage: python examples/soak.py [--hours 2] [--k 16] [--cpu]
-Writes SOAK_r03.json at the repo root.
+Writes SOAK_r04.json at the repo root.
 """
 
 from __future__ import annotations
@@ -157,7 +157,7 @@ def main():
         and locked_end >= args.sats - 1
         and len(pos) > 0.8 * sig_sec * (1024 // cfg.n_cyc) / cfg.no_sec)
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SOAK_r03.json")
+        os.path.abspath(__file__))), "SOAK_r04.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc), flush=True)
