@@ -219,3 +219,92 @@ def test_fix_trajectories_agree(ref_result, ours):
                                        f"{np.percentile(d, 95):.2f} m"
     assert np.linalg.norm(np.mean(ref_fixes[:, 1:4], axis=0)
                           - np.mean(our_fixes[:, 1:4], axis=0)) < 1.0
+
+
+@pytest.fixture(scope="module")
+def ours_device(ref_result):
+    """The same capture through the DEVICE product path — run_device
+    with fused window dispatch + sparse window consume (throughput
+    mode, CPU backend).  The host-path fixture validates the
+    algorithms; this one differentially validates the windowed
+    device-loop machinery (track_window, unpack_window_compact,
+    _consume_window_compact) against the executed reference."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from gps_sdr_tpu.ops.tracking import to_grouped_planar
+    from gps_sdr_tpu.runtime.session import Session
+
+    path = _capture_path()
+    blocks = np.stack(list(replay_blocks(path, CFG)))
+    cfg = CFG.replace(chunks_per_download=8,
+                      download_windows_in_flight=2,
+                      defer_subframe_poll=True,
+                      epoch_per_window=True)
+    buf = jnp.asarray(to_grouped_planar(cfg, blocks))
+    t = cfg.no_sec
+    n_chunks = blocks.shape[0] // t
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def _slice(b, first, n):
+        return jax.lax.dynamic_slice_in_dim(b, first, n)
+
+    session = Session(cfg, record_epochs_to="memory")
+    session.run_device_source(
+        lambda first, n: _slice(buf, jnp.int32(first), n), n_chunks)
+    return session
+
+
+def test_device_path_subframes_identical(ref_result, ours_device):
+    """The fused windowed device loop must decode the same subframes,
+    field-for-field, as the executed reference."""
+    session = ours_device
+    ref_frames = {}
+    for sf in ref_result["frames"]:
+        ref_frames[(sf["SAT"], sf["ID"], sf["tow"])] = sf
+    our_frames = {}
+    for rec in session.records:
+        for sf in rec[1]:
+            if "ID" in sf:
+                our_frames[(sf["SAT"], sf["ID"], sf["tow"])] = sf
+    common = set(ref_frames) & set(our_frames)
+    assert len(ref_frames) >= 30
+    assert len(common) >= 0.9 * len(ref_frames), (
+        f"only {len(common)}/{len(ref_frames)} subframes in common; "
+        f"ours={len(our_frames)}")
+    mismatches = []
+    for key in sorted(common):
+        rf, of = ref_frames[key], our_frames[key]
+        for k in (set(rf) & set(of)) - TRANSPORT_KEYS:
+            if rf[k] != of[k]:
+                mismatches.append((key, k, rf[k], of[k]))
+        if abs(int(rf["ST"]) - int(of["ST"])) > 3:
+            mismatches.append((key, "ST", rf["ST"], of["ST"]))
+    assert not mismatches, f"{len(mismatches)} mismatches: " \
+                           f"{mismatches[:10]}"
+
+
+def test_device_path_fixes_agree(ref_result, ours_device):
+    """Fix trajectory through the fused device loop vs the reference:
+    same epoch join as the host-path test, same bounds."""
+    session = ours_device
+    scn = _scenario()
+    truth = scn.rec_ecef
+    ref_fixes = np.array(ref_result["fixes"], dtype=np.float64)
+    our_fixes = np.array([[p[0], p[1], p[2], p[3]]
+                          for p in session.evaluator.positions],
+                         dtype=np.float64)
+    assert len(our_fixes) >= 100
+    our_err = np.linalg.norm(our_fixes[:, 1:4] - truth, axis=1)
+    ref_err = np.linalg.norm(ref_fixes[:, 1:4] - truth, axis=1)
+    assert np.mean(our_err) < np.mean(ref_err) + 1.0
+    ref_by_t = {round(t, 3): xyz for t, *xyz in ref_fixes}
+    our_by_t = {round(t, 3): xyz for t, *xyz in our_fixes}
+    common = sorted(set(ref_by_t) & set(our_by_t))
+    assert len(common) >= 0.85 * len(ref_by_t), (
+        f"only {len(common)} common epochs of {len(ref_by_t)}")
+    d = np.array([np.linalg.norm(np.subtract(ref_by_t[t], our_by_t[t]))
+                  for t in common])
+    assert np.median(d) < 1.0, f"median separation {np.median(d):.2f} m"
