@@ -217,6 +217,31 @@ class SubframeError(Exception):
     pass
 
 
+# the subframe-ID source span, handed to the native scanner so its
+# walk can apply decode_subframe's 1 <= ID <= 5 gate (one source of
+# truth: this table)
+_ID_SPAN = next((sp[0][0], sp[0][1], sp[0][2])
+                for n, sp, *_ in _COMMON if n == "ID")
+
+_navscan_fn = None
+
+
+def _native_scan():
+    """The native subframe scanner (csrc/navscan.cpp), or False.
+    GSDR_NAVSCAN=0 forces the pure-Python walk (equivalence tests)."""
+    global _navscan_fn
+    import os as _os
+    if _os.environ.get("GSDR_NAVSCAN", "1") == "0":
+        return False
+    if _navscan_fn is None:
+        try:
+            from gps_sdr_tpu.models._navscan import navscan
+            _navscan_fn = navscan
+        except ImportError:
+            _navscan_fn = False
+    return _navscan_fn
+
+
 def check_and_unscramble(sub300: np.ndarray) -> np.ndarray | None:
     """Parity-check a 300-bit subframe; return 10x30 source-domain words.
 
@@ -284,7 +309,14 @@ def decode_subframe(sub300: np.ndarray) -> dict | None:
     w = check_and_unscramble(np.asarray(sub300))
     if w is None:
         return None
-    flat = w.reshape(-1).astype(np.int64)
+    return fields_from_source(w.reshape(-1))
+
+
+def fields_from_source(flat300: np.ndarray) -> dict | None:
+    """Field dict from 300 SOURCE-domain bits (already parity-checked
+    and data-complement-corrected — check_and_unscramble's output, or
+    the native scanner's)."""
+    flat = np.asarray(flat300).astype(np.int64)
     Wc, mc = _field_matrix(_COMMON)
     vals = Wc @ flat
     out = {name: int(v) for (name, _), v in zip(mc, vals)}
@@ -544,6 +576,25 @@ class NavDecoder:
         self.bits_st = np.concatenate([self.bits_st, ns])
         bits = self.bits
         if len(bits) < SUBFRAME_BITS:
+            return out
+        return self._scan_buffer()
+
+    def _scan_buffer(self) -> list[dict]:
+        """Scan self.bits for subframes and trim the consumed prefix
+        (the walk after new bits arrived; split out so the native /
+        Python equivalence is testable on arbitrary buffers)."""
+        bits = self.bits
+        out: list[dict] = []
+        scan = _native_scan()
+        if scan:
+            starts, words, final = scan(bits, _TAPS_MAT, _SEED29,
+                                        _ID_SPAN)
+            for si, wrow in zip(starts.tolist(), words):
+                sf = fields_from_source(wrow)
+                sf["ST"] = int(self.bits_st[si])
+                out.append(sf)
+            self.bits = bits[final:]
+            self.bits_st = self.bits_st[final:]
             return out
         corr = np.correlate(bits, PREAMBLE_PM, mode="valid")
         locs = [i for i in np.nonzero(np.abs(corr) == 8)[0]]

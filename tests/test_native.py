@@ -108,3 +108,55 @@ def test_make_buffer_prefers_native():
     out, skipped = buf.pull()
     np.testing.assert_array_equal(out, b)
     assert skipped == 0
+
+
+def test_navscan_native_matches_python(monkeypatch):
+    """The native subframe scanner (csrc/navscan.cpp) must reproduce
+    the Python walk exactly — decoded dicts, ST anchors, and the
+    buffer-trim position — on buffers with noise prefixes, inverted
+    streams, parity-corrupted subframes, and false preambles."""
+    pytest.importorskip("gps_sdr_tpu.models._navscan")
+    import numpy as np
+
+    from gps_sdr_tpu.models import navmsg
+
+    rng = np.random.default_rng(7)
+
+    def build_stream(flip_prob, invert, corrupt_every):
+        chunks = [((rng.integers(0, 2, rng.integers(5, 60)) * 2 - 1)
+                   .astype(np.int8))]           # noise prefix
+        for k in range(4):
+            sub = navmsg.encode_subframe(
+                1 if k % 2 == 0 else 3, {}, tow=1000 + 6 * k)
+            pm = (2 * sub - 1).astype(np.int8)
+            if corrupt_every and k % corrupt_every == 1:
+                pm[17] = -pm[17]                # parity break
+            chunks.append(pm)
+        bits = np.concatenate(chunks)
+        if invert:
+            bits = (-bits).astype(np.int8)
+        flips = rng.random(bits.shape[0]) < flip_prob
+        bits = np.where(flips, -bits, bits).astype(np.int8)
+        return bits
+
+    def scan(bits, native):
+        nd = navmsg.NavDecoder(ngps=65536)
+        nd.bits = bits.copy()
+        nd.bits_st = np.arange(bits.shape[0], dtype=np.int64) * 1313
+        with monkeypatch.context() as m:
+            m.setenv("GSDR_NAVSCAN", "1" if native else "0")
+            out = nd._scan_buffer()
+        return out, nd.bits.copy(), nd.bits_st.copy()
+
+    n_decoded = 0
+    for case in range(12):
+        bits = build_stream(flip_prob=[0.0, 0.0, 0.002][case % 3],
+                            invert=case % 2 == 1,
+                            corrupt_every=[0, 2][case % 2])
+        got_n, bits_n, st_n = scan(bits, True)
+        got_p, bits_p, st_p = scan(bits, False)
+        assert got_n == got_p, f"case {case}: dict mismatch"
+        np.testing.assert_array_equal(bits_n, bits_p)
+        np.testing.assert_array_equal(st_n, st_p)
+        n_decoded += len(got_n)
+    assert n_decoded >= 20      # the cases actually decoded subframes
