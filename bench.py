@@ -574,7 +574,7 @@ def main():
         sv_sec = float(os.environ.get("BENCH_SERVE_SEC", "64"))
         n_sv = int(os.environ.get("BENCH_SERVE_STREAMS", "8"))
         scale_s = [int(x) for x in os.environ.get(
-            "BENCH_SERVE_SCALE", "1,2,4,8,16").split(",") if x]
+            "BENCH_SERVE_SCALE", "1,2,4,8,16,32").split(",") if x]
         t_sv = cfg.no_sec
         n_chunks_sv = int(round(sv_sec / (t_sv * cfg.block_sec)))
         # at least two windows, or the warm-window timing degenerates
