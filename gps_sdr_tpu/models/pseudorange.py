@@ -255,11 +255,11 @@ class PseudorangeEngine:
         # zero mean, so std^2 = var_y - cov^2/var_x exactly)
         x = (snos - np.repeat(snos[starts], counts)).astype(np.float64)
         y = cps - np.repeat(cps[starts], counts)
-        sx = np.add.reduceat(x, starts)
-        sy = np.add.reduceat(y, starts)
-        sxx = np.add.reduceat(x * x, starts)
-        sxy = np.add.reduceat(x * y, starts)
-        syy = np.add.reduceat(y * y, starts)
+        # one reduceat over the stacked moment rows (five separate
+        # reduceat calls were pure numpy-call overhead at the serving
+        # path's segment rate)
+        sx, sy, sxx, sxy, syy = np.add.reduceat(
+            np.stack([x, y, x * x, x * y, y * y]), starts, axis=1)
         with np.errstate(invalid="ignore", divide="ignore"):
             mx = sx / counts
             my = sy / counts

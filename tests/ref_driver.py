@@ -68,10 +68,23 @@ def _install_stubs():
 
 
 def run_reference(capture_path: str, max_streams: int | None = None,
-                  max_sat: int | None = None) -> dict:
+                  max_sat: int | None = None, n_cyc: int = 32) -> dict:
     _install_stubs()
     if REF_SRC not in sys.path:
         sys.path.insert(0, REF_SRC)
+    if n_cyc != 32:
+        # the reference's supported reconfiguration is editing
+        # gpsglob.py (N_CYC "currently possible are (32,16,8)",
+        # gpsglob.py:122); gpslib/gpsrecv/gpseval star-copy the globals
+        # at import, so patch gpsglob BEFORE their first import.  NGPS
+        # is the only derived constant (gpsglob.py:125); CORR_AVG must
+        # stay <= N_CYC (gpsglob.py:63).
+        import gpsglob
+        gpsglob.N_CYC = n_cyc
+        gpsglob.NGPS = n_cyc * gpsglob.CODE_SAMPLES
+        gpsglob.CORR_AVG = min(gpsglob.CORR_AVG, n_cyc)
+        for m in ("gpslib", "gpsrecv", "gpseval"):
+            assert m not in sys.modules, f"{m} imported before patch"
     import gpslib
     import gpsrecv
     import gpseval
@@ -191,8 +204,10 @@ def main():
     ap.add_argument("capture")
     ap.add_argument("out")
     ap.add_argument("--max-streams", type=int, default=None)
+    ap.add_argument("--n-cyc", type=int, default=32)
     args = ap.parse_args()
-    res = run_reference(args.capture, args.max_streams)
+    res = run_reference(args.capture, args.max_streams,
+                        n_cyc=args.n_cyc)
     with open(args.out, "wb") as f:
         pickle.dump(res, f)
     print(f"reference run: {res['n_streams']} streams, "

@@ -308,3 +308,96 @@ def test_device_path_fixes_agree(ref_result, ours_device):
     d = np.array([np.linalg.norm(np.subtract(ref_by_t[t], our_by_t[t]))
                   for t in common])
     assert np.median(d) < 1.0, f"median separation {np.median(d):.2f} m"
+
+
+# ---- N_CYC=16 axis (threshold note below): the reference's 16 ms fix-epoch mode ---------------
+
+CFG16 = ReceiverConfig(n_cyc=16)
+
+
+@pytest.fixture(scope="module")
+def ref_result16():
+    """The reference at N_CYC=16 (its documented fast-machine mode,
+    gpsglob.py:122-124) on the SAME capture bytes — ref_driver patches
+    gpsglob before the star-imports copy the globals."""
+    capture = _capture_path()
+    out = os.path.join(_SYNTH_CACHE, "diff_refresult16_v1.pkl")
+    if not os.path.exists(out):
+        driver = os.path.join(os.path.dirname(__file__), "ref_driver.py")
+        subprocess.run([sys.executable, driver, capture, out + ".tmp",
+                        "--n-cyc", "16"], check=True, timeout=3600)
+        os.replace(out + ".tmp", out)
+    with open(out, "rb") as f:
+        return pickle.load(f)
+
+
+@pytest.fixture(scope="module")
+def ours16():
+    from gps_sdr_tpu.runtime.session import Session
+
+    path = _capture_path()
+    session = Session(CFG16, record_epochs_to="memory")
+    session.run_source(replay_blocks(path, CFG16))
+    return session
+
+
+def test_ncyc16_subframes_identical(ref_result16, ours16):
+    """16 ms epoch mode: decoded subframe dicts must still match the
+    reference field-for-field."""
+    ref_frames = {}
+    for sf in ref_result16["frames"]:
+        ref_frames[(sf["SAT"], sf["ID"], sf["tow"])] = sf
+    our_frames = {}
+    for rec in ours16.records:
+        for sf in rec[1]:
+            if "ID" in sf:
+                our_frames[(sf["SAT"], sf["ID"], sf["tow"])] = sf
+    common = set(ref_frames) & set(our_frames)
+    assert len(ref_frames) >= 25
+    assert len(common) >= 0.9 * len(ref_frames), (
+        f"only {len(common)}/{len(ref_frames)}; ours={len(our_frames)}")
+    mismatches = []
+    for key in sorted(common):
+        rf, of = ref_frames[key], our_frames[key]
+        for k in (set(rf) & set(of)) - TRANSPORT_KEYS:
+            if rf[k] != of[k]:
+                mismatches.append((key, k, rf[k], of[k]))
+        if abs(int(rf["ST"]) - int(of["ST"])) > 3:
+            mismatches.append((key, "ST", rf["ST"], of["ST"]))
+    assert not mismatches, f"{mismatches[:10]}"
+
+
+def test_ncyc16_fixes_agree(ref_result16, ours16):
+    """16 ms epoch fixes join on the (16 ms-granular) timestamps.
+
+    At N_CYC=16 each fix uses half the code-phase averaging, so the
+    capture-inherent per-epoch scatter is ~10 m for BOTH pipelines
+    (measured: ref 10.4 m / ours 9.7 m mean error) and sub-sample
+    implementation differences (interpolation, slope engagement)
+    decorrelate the per-epoch noise more than in the 32 ms mode.  The
+    right differential claims are: no accuracy regression, a
+    mean-position gap far under the scatter, and per-epoch separation
+    a small fraction of the per-epoch error (measured: 0.45 m gap,
+    median separation 2.3 m ~= 22% of the 10 m scatter)."""
+    scn = _scenario()
+    truth = scn.rec_ecef
+    ref_fixes = np.array(ref_result16["fixes"], dtype=np.float64)
+    our_fixes = np.array([[p[0], p[1], p[2], p[3]]
+                          for p in ours16.evaluator.positions],
+                         dtype=np.float64)
+    assert len(ref_fixes) >= 200 and len(our_fixes) >= 200
+    ref_err = np.linalg.norm(ref_fixes[:, 1:4] - truth, axis=1)
+    our_err = np.linalg.norm(our_fixes[:, 1:4] - truth, axis=1)
+    assert np.mean(our_err) < np.mean(ref_err) + 1.0
+    assert np.linalg.norm(np.mean(ref_fixes[:, 1:4], axis=0)
+                          - np.mean(our_fixes[:, 1:4], axis=0)) < 1.5
+    ref_by_t = {round(t, 3): xyz for t, *xyz in ref_fixes}
+    our_by_t = {round(t, 3): xyz for t, *xyz in our_fixes}
+    common = sorted(set(ref_by_t) & set(our_by_t))
+    assert len(common) >= 0.8 * len(ref_by_t), (
+        f"{len(common)} of {len(ref_by_t)} common")
+    d = np.array([np.linalg.norm(np.subtract(ref_by_t[t], our_by_t[t]))
+                  for t in common])
+    assert np.median(d) < 0.4 * np.mean(ref_err), (
+        f"median separation {np.median(d):.2f} m vs scatter "
+        f"{np.mean(ref_err):.2f} m")
