@@ -16,7 +16,7 @@ bounds:
     their achieved utilization vs the chip's bf16 peak says how much
     kernel headroom remains.
 
-Writes ROOFLINE_r03.json and prints the table.
+Writes ROOFLINE_r04.json and prints the table.
 
 Usage: python examples/roofline.py [--k 16] [--blocks 2048] [--cpu]
 """
@@ -137,7 +137,7 @@ def main():
                     for n, s, c in ops],
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "ROOFLINE_r03.json")
+        os.path.abspath(__file__))), "ROOFLINE_r04.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({k: v for k, v in doc.items() if k != "top_ops"},
