@@ -7,7 +7,7 @@ loop (the device side is ~3000x realtime) — the target of any native
 (C++) host-kernel work.
 
 Usage: python examples/profile_evalhost.py [--sec 32] [--streams 4]
-       [--reps 3] [--native]
+       [--reps 3]
 """
 
 import argparse
