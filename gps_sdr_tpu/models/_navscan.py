@@ -20,20 +20,28 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "libgsdrnav.so")
 
 
 def _load() -> ctypes.CDLL:
+    # Load the prebuilt library only — compiling inside import could
+    # stall the first subframe poll for minutes on the 1-core host and
+    # would hide a broken toolchain.  Opt in to an import-time build
+    # with GSDR_NAVSCAN_BUILD=1; otherwise fail fast so navmsg.py logs
+    # the fallback and uses the Python scanner.
     try:
         return ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        pass
-    import subprocess
-    csrc = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
-    try:
-        subprocess.run(["make", "-C", csrc], check=True,
-                       capture_output=True, timeout=120)
-        return ctypes.CDLL(_LIB_PATH)
-    except Exception as e:
-        raise ImportError(
-            f"native navscan library unavailable (build: {e}); "
-            f"run `make -C csrc`") from e
+    except OSError as e:
+        first_err = e
+    if os.environ.get("GSDR_NAVSCAN_BUILD", "0") == "1":
+        import subprocess
+        csrc = os.path.join(os.path.dirname(__file__), "..", "..",
+                            "csrc")
+        try:
+            subprocess.run(["make", "-C", csrc], check=True,
+                           capture_output=True, timeout=120)
+            return ctypes.CDLL(_LIB_PATH)
+        except Exception as e:
+            first_err = e
+    raise ImportError(
+        f"native navscan library unavailable ({first_err}); "
+        f"run `make -C csrc` (or set GSDR_NAVSCAN_BUILD=1)")
 
 
 _lib = _load()

@@ -237,7 +237,11 @@ def _native_scan():
         try:
             from gps_sdr_tpu.models._navscan import navscan
             _navscan_fn = navscan
-        except ImportError:
+        except ImportError as e:
+            import warnings
+            warnings.warn(f"native navscan unavailable, using the "
+                          f"Python subframe scanner ({e})",
+                          RuntimeWarning, stacklevel=2)
             _navscan_fn = False
     return _navscan_fn
 
@@ -274,8 +278,11 @@ def _field_matrix(fields) -> tuple[np.ndarray, list]:
     (W, [(name, scale)]).  Cached per fields tuple: decode_subframe ran
     one _bits_to_int per field, and at the serving path's aggregate
     subframe rate the per-field Python loop was most of the host
-    consume stage."""
-    key = id(fields)
+    consume stage.  Keyed on the field structure itself (hashable
+    tuple), not id(): an id can be reused after a temporary table is
+    collected, silently decoding with the wrong weights."""
+    key = tuple((name, tuple(spans), signed, scale)
+                for name, spans, signed, scale in fields)
     hit = _FIELD_MATRICES.get(key)
     if hit is not None:
         return hit

@@ -235,9 +235,14 @@ class StreamServer:
                             cw.dropped.sum())
                         t3 = _pc()
                         perf["unpack"] += t3 - t2
-                        yield s, consume_window(s, take[-1][0], cw,
-                                                take[0][2])
+                        # time consume BEFORE yielding: the generator
+                        # suspends at yield, so bracketing the yield
+                        # would bill the caller's work (evaluate) to
+                        # the consume stage.
+                        out = consume_window(s, take[-1][0], cw,
+                                             take[0][2])
                         perf["consume"] += _pc() - t3
+                        yield s, out
                     n -= 1
                     continue
                 for i, ((chunks, _, stream0), win) in enumerate(
@@ -251,10 +256,11 @@ class StreamServer:
                         rec.status.edge_overflows += int(dropped.sum())
                         t2 = _pc()
                         perf["unpack"] += t2 - t1
-                        yield s, consume_one(s, chunks, outs, stream0,
-                                             poll)
+                        out = consume_one(s, chunks, outs, stream0,
+                                          poll)
                         t1 = _pc()
                         perf["consume"] += t1 - t2
+                        yield s, out
                 n -= 1
 
         # fused window dispatch: track + pack a whole w-chunk window as
