@@ -90,7 +90,35 @@ def fresh_states(cfg, sats):
     return states
 
 
+def host_probe_ms(reps: int = 3) -> float:
+    """Fixed numpy+Python workload wall time in ms.
+
+    The deployment host has ONE burstable core whose credit state swings
+    host-bound metrics (full_loop, serving) ~2x run-to-run; this probe
+    makes that state visible in every BENCH artifact so a genuine
+    host-path regression is attributable at a glance.  The mix mirrors
+    the evaluator's op shapes: small batched f64 matmul/solve,
+    transcendentals, and plain interpreter overhead."""
+    rng = np.random.default_rng(42)
+    a = rng.normal(size=(256, 8, 4))
+    v = rng.normal(size=(256, 8))
+    big = rng.normal(size=200_000)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        m = a.transpose(0, 2, 1) @ a + np.eye(4)
+        rhs = a.transpose(0, 2, 1) @ v[:, :, None]
+        np.linalg.solve(m, rhs)
+        np.sqrt(np.abs(np.sin(big))).sum()
+        acc = 0
+        for i in range(20_000):
+            acc += i & 7
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
 def main():
+    probe_start_ms = host_probe_ms()
     cfg = ReceiverConfig(max_sat=N_CHANNELS,
                          blocks_per_step=BLOCKS_PER_STEP,
                          use_pallas_kernels=jax.default_backend() == "tpu",
@@ -803,6 +831,8 @@ def main():
             "max_freq_err_hz": round(freq_err, 2),
             "code_phase_found_frac": round(cp_found, 4),
             "signal_sec_large_run": round(sig_large, 1),
+            "host_probe_ms": {"start": round(probe_start_ms, 1),
+                              "end": round(host_probe_ms(), 1)},
             "backend": jax.default_backend(),
             "pallas_fallback": pallas_fallback,
             **stress,

@@ -25,6 +25,7 @@ from gps_sdr_tpu.models import orbits
 from gps_sdr_tpu.models.ephemeris import (EPHEM_SF1, EPHEM_SF2,
                                           EPHEM_SF3, EphemerisAssembler,
                                           SatStatus)
+from gps_sdr_tpu.nativecore import native_evalcore
 from gps_sdr_tpu.utils.cplist import cp_arrays
 
 # the ephemeris fields orbit propagation consumes — a STATIC list, so
@@ -131,6 +132,21 @@ class SatRows:
                     self.cyc, self.sigma)]
 
 
+def ecef_mat(tow, dt, eph_mat: np.ndarray, rel_corr: bool = True):
+    """ecef_coord over rows of an EPHEM_KEYS-ordered [N, 26] matrix —
+    the dispatch point between the native core (csrc/evalcore.cpp
+    gsdr_ecef) and the numpy path.  tow/dt broadcast to [N]."""
+    n = eph_mat.shape[0]
+    tow = np.broadcast_to(np.asarray(tow, np.float64), (n,))
+    dt = np.broadcast_to(np.asarray(dt, np.float64), (n,))
+    core = native_evalcore()
+    if core:
+        return core.ecef_batch(tow, dt, eph_mat, rel_corr)
+    eph = {k: eph_mat[:, i] for i, k in enumerate(EPHEM_KEYS)}
+    return orbits.ecef_coord(tow, eph, dt_from_tow=dt,
+                             rel_corr=rel_corr)
+
+
 def finish_deferred(deferred: list, cfg: ReceiverConfig,
                     rel_corr: bool = True) -> SatRows:
     """Run ONE vectorized orbit propagation over every satellite's rows
@@ -150,9 +166,7 @@ def finish_deferred(deferred: list, cfg: ReceiverConfig,
     vals = np.array([[d.ephem[k] for k in keys] for d in deferred],
                     np.float64)
     rep = np.repeat(vals, counts, axis=0)       # ONE repeat, all keys
-    eph = {k: rep[:, i] for i, k in enumerate(keys)}
-    x, y, z, dtsv = orbits.ecef_coord(tow_a, eph, dt_from_tow=dst_a / fs,
-                                      rel_corr=rel_corr)
+    x, y, z, dtsv = ecef_mat(tow_a, dst_a / fs, rep, rel_corr)
     dtsv = np.broadcast_to(np.asarray(dtsv, np.float64), tow_a.shape)
     return SatRows(
         sat_no=np.repeat([d.sat_no for d in deferred], counts),
@@ -244,6 +258,13 @@ class PseudorangeEngine:
         default-shape per-chunk list is then always one segment —
         identical to the per-call scalar form."""
         cfg = self.cfg
+        core = native_evalcore()
+        if core:
+            # native segment walk (csrc/evalcore.cpp gsdr_sigma_slope);
+            # updates self.slope_hist in place like the loop below
+            return core.sigma_slope(
+                snos, cps, cfg.no_sec, cfg.n_cyc, max_slope(cfg),
+                GPS_C / cfg.sample_rate, self.slope_hist)
         n = len(cps)
         seg = (snos - 1) // cfg.no_sec
         bounds = np.nonzero(np.diff(seg))[0] + 1

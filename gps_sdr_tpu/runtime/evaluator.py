@@ -21,10 +21,10 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from gps_sdr_tpu.config import GPS_C, L1_FREQ, ReceiverConfig
-from gps_sdr_tpu.models import orbits
 from gps_sdr_tpu.models.ephemeris import SatStatus
 from gps_sdr_tpu.models.pseudorange import (PseudorangeEngine,
                                             finish_deferred)
+from gps_sdr_tpu.nativecore import native_evalcore
 from gps_sdr_tpu.ops.pvt import (FixBatch, FixResult, solve_fix,
                                  solve_fix_batch,
                                  solve_velocity)
@@ -57,17 +57,24 @@ def unwrap_code_phases(sat_no: int, cplst: list, err_stream: dict,
         # differences — the correction is a plain cumulative sum of
         # per-step wrap signs.  Bit-identical to the reference loop.
         nos, raw = cp_arrays(cplst)
-        d = raw[:-1] - raw[1:]
-        s = np.where(np.abs(np.abs(d) - cs) <= diff_tol, np.sign(d), 0.0)
-        corr = raw.copy()
-        corr[1:] += np.cumsum(s) * cs
-        step = np.abs(np.diff(corr))
-        gaps = np.diff(nos)
-        for i in np.nonzero(step > 1 + (gaps - 1) * 0.2)[0]:
+        core = native_evalcore()
+        if core:
+            corr, flagged = core.unwrap(nos, raw, cs, diff_tol)
+        else:
+            d = raw[:-1] - raw[1:]
+            s = np.where(np.abs(np.abs(d) - cs) <= diff_tol,
+                         np.sign(d), 0.0)
+            corr = raw.copy()
+            corr[1:] += np.cumsum(s) * cs
+            step = np.abs(np.diff(corr))
+            gaps = np.diff(nos)
+            flagged = np.nonzero(step > 1 + (gaps - 1) * 0.2)[0]
+        for i in flagged:
             no, pno = int(nos[i + 1]), int(nos[i])
             if log is not None:
+                step_i = abs(float(corr[i + 1]) - float(corr[i]))
                 log.append(f"{no} [{no-pno}]: code-phase step "
-                           f"{step[i]:.2f} - possible phase error")
+                           f"{step_i:.2f} - possible phase error")
             for j in range(no - pno):
                 err_stream[no - j] = err_stream.get(no - j, 0) + 1
         cpl = CodePhaseList(nos, corr)
@@ -605,18 +612,28 @@ class Evaluator:
         dt = cyc * self.cfg.n_cyc / 1000.0
         freq = {sf["SAT"]: sf["FRQ"] for sf in frames
                 if sf.get("SAT") is not None and "FRQ" in sf}
+        rows = [(f, self.engines[s].ephem) for s, f in freq.items()
+                if s in self.engines and self.engines[s].ephem_ok]
         ys = []
-        for sat_no, f_trk in freq.items():
-            eng = self.engines.get(sat_no)
-            if eng is None or not eng.ephem_ok:
-                continue
-            p = [np.array(orbits.ecef_coord(
-                    tow, eng.ephem, dt_from_tow=dt + h)[:3])
-                 for h in (-0.5, 0.5)]
-            rate = (np.linalg.norm(p[1] - rec)
-                    - np.linalg.norm(p[0] - rec))
+        if rows:
+            # one batched orbit pass over all satellites x (dt -+ 0.5)
+            # (models/pseudorange.py ecef_mat; elementwise, identical
+            # to the per-satellite calls)
+            from gps_sdr_tpu.models.pseudorange import (EPHEM_KEYS,
+                                                        ecef_mat)
+            vals = np.array([[e[k] for k in EPHEM_KEYS]
+                             for _f, e in rows], np.float64)
+            n = len(rows)
+            dts = np.concatenate([np.full(n, dt - 0.5),
+                                  np.full(n, dt + 0.5)])
+            x, y, z, _ = ecef_mat(float(tow), dts,
+                                  np.tile(vals, (2, 1)))
+            p = np.stack([x, y, z])                 # [3, 2n]
+            rate = (np.linalg.norm(p[:, n:] - rec[:, None], axis=0)
+                    - np.linalg.norm(p[:, :n] - rec[:, None], axis=0))
             f_geo = -rate / GPS_C * L1_FREQ
-            ys.append((f_geo - f_trk) / L1_FREQ)
+            f_trk = np.array([f for f, _e in rows], np.float64)
+            ys = (f_geo - f_trk) / L1_FREQ
         if len(ys) >= 4:
             y_obs = float(np.median(ys))
             a = 0.3 if self.clock_rate_est != 0.0 else 1.0
@@ -754,14 +771,12 @@ class Evaluator:
         # batched orbit propagation at dt -/+ 0.5 s across satellites;
         # static key list (see models/pseudorange.py EPHEM_KEYS) so
         # mixed preloaded/decoded ephemeris dicts batch cleanly
-        from gps_sdr_tpu.models.pseudorange import EPHEM_KEYS
-        keys = EPHEM_KEYS
-        vals = np.array([[r[1][k] for k in keys] for r in rows],
+        from gps_sdr_tpu.models.pseudorange import EPHEM_KEYS, ecef_mat
+        vals = np.array([[r[1][k] for k in EPHEM_KEYS] for r in rows],
                         np.float64)
-        eph = {k: np.tile(vals[:, j], 2) for j, k in enumerate(keys)}
         n = len(rows)
         dts = np.concatenate([np.full(n, dt - 0.5), np.full(n, dt + 0.5)])
-        x, y, z, _ = orbits.ecef_coord(float(tow), eph, dt_from_tow=dts)
+        x, y, z, _ = ecef_mat(float(tow), dts, np.tile(vals, (2, 1)))
         p = np.stack([x, y, z])                     # [3, 2n]
         sat_pos = 0.5 * (p[:, :n] + p[:, n:])
         sat_vel = p[:, n:] - p[:, :n]

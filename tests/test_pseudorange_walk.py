@@ -20,6 +20,15 @@ from gps_sdr_tpu.models.pseudorange import PseudorangeEngine, _linfit
 from tests.test_navmsg import SF1, SF2, SF3
 
 
+@pytest.fixture(autouse=True)
+def _python_host_path(monkeypatch):
+    """The oracle comparisons here pin EXACT equality of the TOW-walk
+    vectorization; run both sides on the numpy path so sub-nm libm
+    differences of the native core (tested separately in test_native)
+    don't blur the 1e-9 assertions."""
+    monkeypatch.setenv("GSDR_EVALCORE", "0")
+
+
 def _oracle_eval(self, cpl, rel_corr=True):
     """The pre-vectorization sequential implementation (oracle)."""
     cfg = self.cfg
