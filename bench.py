@@ -602,7 +602,7 @@ def main():
         sv_sec = float(os.environ.get("BENCH_SERVE_SEC", "64"))
         n_sv = int(os.environ.get("BENCH_SERVE_STREAMS", "8"))
         scale_s = [int(x) for x in os.environ.get(
-            "BENCH_SERVE_SCALE", "1,2,4,8,16,32").split(",") if x]
+            "BENCH_SERVE_SCALE", "1,2,4,8,16,32,48,64").split(",") if x]
         t_sv = cfg.no_sec
         n_chunks_sv = int(round(sv_sec / (t_sv * cfg.block_sec)))
         # at least two windows, or the warm-window timing degenerates
@@ -681,27 +681,41 @@ def main():
 
         # aggregate-RTF / fixes-per-second curve vs stream count: where
         # does the single host thread cap the chip?  (VERDICT r2 #5)
+        def _dev_mem_mb():
+            # device-memory headroom per S (VERDICT r4 #2); not every
+            # backend/tunnel exposes memory_stats
+            try:
+                ms = jax.local_devices()[0].memory_stats()
+                return round(ms.get("bytes_in_use", 0) / 1e6, 1)
+            except Exception:
+                return None
+
+        def _curve_entry(s_count, wall, sig, evs_c, pf):
+            host = sum(pf.get(k, 0.0) for k in
+                       ("unpack", "consume", "evaluate"))
+            return {
+                "aggregate_rtf": round(s_count * sig / wall, 1),
+                "fixes_per_sec": round(
+                    sum(len(e.positions) for e in evs_c) / wall, 1),
+                "streams_with_fixes": int(sum(
+                    1 for e in evs_c if e.positions)),
+                "wall_s": round(wall, 2),
+                "host_stage_s": round(host, 2),
+                "host_share_pct": round(100 * host / wall, 1),
+                "dev_mem_mb": _dev_mem_mb(),
+            }
+
         if want("servecurve"):
-            curve = {str(n_sv): {
-                "aggregate_rtf": stress[skey + "_aggregate_rtf"],
-                "fixes_per_sec": round(sum(fixes_sv) / wall_sv, 1),
-                "streams_with_fixes":
-                    stress[skey + "_streams_with_fixes"]}}
+            curve = {str(n_sv): _curve_entry(n_sv, wall_sv, sig_sv,
+                                             evs, perf_sv)}
             for s_count in scale_s:
                 if s_count == n_sv:
                     continue          # reuse the flagship measurement
                 try:
-                    wall_c, sig_c, evs_c, _pf = serve_once(s_count,
-                                                           n_chunks_sv)
-                    curve[str(s_count)] = {
-                        "aggregate_rtf": round(
-                            s_count * sig_c / wall_c, 1),
-                        "fixes_per_sec": round(
-                            sum(len(e.positions) for e in evs_c)
-                            / wall_c, 1),
-                        "streams_with_fixes": int(sum(
-                            1 for e in evs_c if e.positions)),
-                    }
+                    wall_c, sig_c, evs_c, pf_c = serve_once(s_count,
+                                                            n_chunks_sv)
+                    curve[str(s_count)] = _curve_entry(
+                        s_count, wall_c, sig_c, evs_c, pf_c)
                 except Exception as e:
                     curve[str(s_count)] = _fail(e)
             stress["serving_scale_curve"] = curve

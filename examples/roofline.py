@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--hbm-gbps", type=float, default=817.0,
                     help="measured HBM bandwidth (round-1 probe)")
+    ap.add_argument("--peak-tflops", type=float, default=197.0,
+                    help="chip peak dense TFLOP/s (v5e bf16 MXU)")
+    ap.add_argument("--out", default="ROOFLINE_r05.json")
     args = ap.parse_args()
 
     import jax
@@ -96,6 +99,22 @@ def main():
         float(np.asarray(jnp.sum(outs.code_phase
                                  .astype(jnp.float32))))
 
+    # FLOP count of the whole chunk program from XLA's own cost model
+    # (counts matmul AND elementwise flops — an upper bound on useful
+    # work, so the MFU below is slightly generous)
+    flops_total = None
+    try:
+        import functools
+        lowered = jax.jit(functools.partial(
+            track_chunk_batched, cfg)).lower(
+                fresh(), blk, jnp.float32(1), codes, ffts)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_total = float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", flush=True)
+
     run()                                    # compile + warm
     run()
     tdir = tempfile.mkdtemp(prefix="roofline_")
@@ -115,6 +134,22 @@ def main():
     achieved_gbps = block_bytes / (busy_us_per_block * 1e-6) / 1e9 \
         if busy_us_per_block else None
 
+    # compute denominator (VERDICT r4 #6): achieved FLOP/s vs MXU peak
+    mfu = {}
+    if flops_total and dev["busy_s"]:
+        achieved_tflops = flops_total / dev["busy_s"] / 1e12
+        flops_per_block = flops_total / t
+        mxu_floor_us = flops_per_block / (args.peak_tflops * 1e12) * 1e6
+        mfu = {
+            "flops_per_block": round(flops_per_block, 0),
+            "achieved_tflops": round(achieved_tflops, 3),
+            "peak_tflops_assumed": args.peak_tflops,
+            "mfu_pct": round(100 * achieved_tflops / args.peak_tflops,
+                             2),
+            "mxu_floor_us_per_block": round(mxu_floor_us, 4),
+            "bound": ("hbm" if hbm_floor_us > mxu_floor_us else "mxu"),
+        }
+
     doc = {
         "k": args.k, "channels": args.channels, "blocks": t,
         "backend": jax.default_backend(),
@@ -127,6 +162,7 @@ def main():
         "iq_stream_achieved_gbps": (round(achieved_gbps, 1)
                                     if achieved_gbps else None),
         "hbm_gbps_measured": args.hbm_gbps,
+        "mfu": mfu or None,
         "note": ("headroom_vs_hbm_floor is the factor between the "
                  "achieved per-block device time and the time to "
                  "stream the IQ block from HBM once — the remaining "
@@ -137,7 +173,7 @@ def main():
                     for n, s, c in ops],
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "ROOFLINE_r04.json")
+        os.path.abspath(__file__))), args.out)
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({k: v for k, v in doc.items() if k != "top_ops"},

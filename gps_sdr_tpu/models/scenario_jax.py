@@ -99,13 +99,26 @@ def _synth_chunk_dev(cfg: ReceiverConfig, chips, params, amp, noise_std,
 
 @dataclass
 class DeviceScenarioSynth:
-    """Chunkwise device synthesis of a models/scenario.py Scenario."""
+    """Chunkwise device synthesis of a models/scenario.py Scenario.
+
+    knot_interp_step (seconds, 0 = off) enables the long-horizon fast
+    path: (tau, tau_sv) are evaluated exactly only at absolute-time
+    nodes t_rx0 + m*h and Catmull-Rom-interpolated to the 1 ms knots.
+    The light-time solution's third derivative is ~3e-12 s/s^3, so at
+    h=0.1 s the interpolation error is ~3e-15 s — five orders below
+    the f32 rounding the linearization already accepts — while cutting
+    the per-chunk host orbit work ~100x (the soak harness was
+    bottlenecked on _params, SOAK_r04).  Nodes are keyed by absolute
+    index, so chunking stays phase-continuous by construction."""
 
     scn: object
     noise_std: float = 0.5
     seed: int = 1
+    knot_interp_step: float = 0.0
 
     def __post_init__(self):
+        self._node_cache: dict = {}     # prn -> {m: (tau, tau_sv)}
+        self._tau_ref: dict = {}        # prn -> tau at t_rx0 (constant)
         # expand satellites into rays: direct path + optional specular
         # multipath (SatScenario.multipath), plus CW interference tones
         # (Scenario.cw_tones) which need no kernel support — a tone is
@@ -172,9 +185,16 @@ class DeviceScenarioSynth:
                 bx[:, :, si] = cs + 1.0
                 continue
             if sat.prn not in states_cache:
-                states_cache[sat.prn] = (
-                    scn.sat_states(knots, sat),
-                    scn.sat_states(np.array([scn.t_rx0]), sat)[0][0])
+                if self.knot_interp_step > 0:
+                    taus = self._sat_tau_interp(knots, sat)
+                else:
+                    taus = scn.sat_states(knots, sat)
+                ref = self._tau_ref.get(sat.prn)
+                if ref is None:       # constant — one exact solve ever
+                    ref = float(scn.sat_states(
+                        np.array([scn.t_rx0]), sat)[0][0])
+                    self._tau_ref[sat.prn] = ref
+                states_cache[sat.prn] = (taus, ref)
             (tau_k0, tau_sv_k0), tau_ref = states_cache[sat.prn]
             # a multipath ray is the same signal delta seconds farther:
             # chips/bits older by delta, carrier picking up the
@@ -213,6 +233,35 @@ class DeviceScenarioSynth:
             bb[:, :, si] = b_.reshape(n_blocks, n_cyc)
             bx[:, :, si] = x_.astype(np.float32).reshape(n_blocks, n_cyc)
         return ph0, phr, c0, cr, ba, bb, bx
+
+    def _sat_tau_interp(self, knots: np.ndarray, sat):
+        """(tau, tau_sv) at `knots` by Catmull-Rom over the absolute
+        node grid t_rx0 + m*h (nodes computed exactly once, cached)."""
+        scn = self.scn
+        h = self.knot_interp_step
+        m0 = int(np.floor((knots[0] - scn.t_rx0) / h)) - 1
+        m1 = int(np.ceil((knots[-1] - scn.t_rx0) / h)) + 2
+        cache = self._node_cache.setdefault(sat.prn, {})
+        missing = [m for m in range(m0, m1 + 1) if m not in cache]
+        if missing:
+            ts = scn.t_rx0 + np.asarray(missing, np.float64) * h
+            tau_m, tsv_m = scn.sat_states(ts, sat)
+            for m, a, b in zip(missing, tau_m, tsv_m):
+                cache[m] = (float(a), float(b))
+        ms = range(m0, m1 + 1)
+        tau_n = np.array([cache[m][0] for m in ms], np.float64)
+        tsv_n = np.array([cache[m][1] for m in ms], np.float64)
+        x = (knots - scn.t_rx0) / h - m0
+        i = np.clip(np.floor(x).astype(np.int64), 1, len(tau_n) - 3)
+        u = x - i
+
+        def cr(p):
+            p0, p1, p2, p3 = p[i - 1], p[i], p[i + 1], p[i + 2]
+            return p1 + 0.5 * u * (
+                p2 - p0 + u * (2 * p0 - 5 * p1 + 4 * p2 - p3
+                               + u * (3 * (p1 - p2) + p3 - p0)))
+
+        return cr(tau_n), cr(tsv_n)
 
     def chunk_planar(self, first_block: int, n_blocks: int) -> jax.Array:
         """Grouped planar f32[n_blocks, 2, n_cyc, cs] re/im on device

@@ -32,45 +32,25 @@ import numpy as np
 FORMAT_VERSION = 1
 
 
-def save_session(session, path: str) -> None:
-    """Checkpoint a Session (receiver device+host state and evaluator)
-    to `path` (a single pickle file; numpy arrays inline)."""
+def _receiver_payload(rec) -> dict:
     from gps_sdr_tpu.ops.tracking import pack_states
 
-    rec = session.receiver
-    states_f32 = {k: np.asarray(v)
-                  for k, v in pack_states(rec.states).items()}
-    payload = {
-        "version": FORMAT_VERSION,
-        "cfg": rec.cfg,
-        "states_f32": states_f32,
+    return {
+        "states_f32": {k: np.asarray(v)
+                       for k, v in pack_states(rec.states).items()},
         "slot_prn": list(rec.slots.slot_prn),
         "decoders": rec.decoders,
         "status": rec.status,
         "corr_quality": dict(rec.corr_quality),
         "sweep_all": rec.sweep_all,
-        "evaluator": session.evaluator,
-        "summaries": list(session.summaries),
     }
-    with open(path, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
 
 
-def load_session(path: str, reporter=None):
-    """Rebuild a Session from a checkpoint; tracking resumes exactly
-    where `save_session` left off."""
-    from gps_sdr_tpu.ops.tracking import to_f32_pairs, unpack_states
-    from gps_sdr_tpu.runtime.session import Session
-
-    with open(path, "rb") as f:
-        p = pickle.load(f)
-    if p["version"] != FORMAT_VERSION:
-        raise ValueError(f"unknown checkpoint version {p['version']}")
-
+def _restore_receiver(rec, p: dict) -> None:
     import jax.numpy as jnp
 
-    session = Session(p["cfg"], reporter=reporter)
-    rec = session.receiver
+    from gps_sdr_tpu.ops.tracking import to_f32_pairs, unpack_states
+
     rec.states = unpack_states(
         {k: jnp.asarray(v) for k, v in p["states_f32"].items()})
     rec.slots.slot_prn = list(p["slot_prn"])
@@ -88,6 +68,64 @@ def load_session(path: str, reporter=None):
             rec._ffts[slot] = rec._ffts_tab[prn]
     rec._codes_dev = jnp.asarray(rec._codes)
     rec._ffts_dev = jnp.asarray(to_f32_pairs(rec._ffts))
+
+
+def save_session(session, path: str) -> None:
+    """Checkpoint a Session (receiver device+host state and evaluator)
+    to `path` (a single pickle file; numpy arrays inline)."""
+    payload = {
+        "version": FORMAT_VERSION,
+        "cfg": session.receiver.cfg,
+        **_receiver_payload(session.receiver),
+        "evaluator": session.evaluator,
+        "summaries": list(session.summaries),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def save_server(server, evaluators: list, path: str) -> None:
+    """Checkpoint a StreamServer (all streams' receivers) plus the
+    caller's per-stream evaluators — the serving-path analogue of
+    save_session (one file; numpy arrays inline)."""
+    payload = {
+        "version": FORMAT_VERSION,
+        "cfg": server.cfg,
+        "receivers": [_receiver_payload(r) for r in server.receivers],
+        "evaluators": list(evaluators),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_server(path: str, mesh=None):
+    """Rebuild (StreamServer, evaluators) from a save_server checkpoint;
+    every stream resumes exactly where it left off (the stacked device
+    state is re-uploaded on the next run)."""
+    from gps_sdr_tpu.runtime.serving import StreamServer
+
+    with open(path, "rb") as f:
+        p = pickle.load(f)
+    if p["version"] != FORMAT_VERSION:
+        raise ValueError(f"unknown checkpoint version {p['version']}")
+    server = StreamServer(p["cfg"], len(p["receivers"]), mesh=mesh)
+    for rec, rp in zip(server.receivers, p["receivers"]):
+        _restore_receiver(rec, rp)
+    return server, p["evaluators"]
+
+
+def load_session(path: str, reporter=None):
+    """Rebuild a Session from a checkpoint; tracking resumes exactly
+    where `save_session` left off."""
+    from gps_sdr_tpu.runtime.session import Session
+
+    with open(path, "rb") as f:
+        p = pickle.load(f)
+    if p["version"] != FORMAT_VERSION:
+        raise ValueError(f"unknown checkpoint version {p['version']}")
+
+    session = Session(p["cfg"], reporter=reporter)
+    _restore_receiver(session.receiver, p)
     session.evaluator = p["evaluator"]
     session.summaries = list(p["summaries"])
     return session

@@ -272,6 +272,12 @@ class StreamServer:
         # retains S chunks of IQ on device until drained — size
         # download_windows_in_flight accordingly).
         fused = (cfg.fused_window_dispatch and w > 1)
+        if self._stacked is None and not any(r.sweep_all
+                                             for r in self.receivers):
+            # resumed from a checkpoint (runtime/checkpoint.py
+            # load_server): receivers carry live states but the stacked
+            # device copy is gone — re-upload before dispatching
+            self._restack()
         ci = 0
         while ci < n_chunks:
             t0 = _pc()

@@ -227,3 +227,73 @@ def test_device_path_resume_continues_fixes(tmp_path):
     t_rel = pos[:, 0] - pos[0, 0]
     late = int((t_rel > 0.6 * t_rel[-1]).sum())
     assert late > 0.2 * len(pos), "no fixes in the resumed segment"
+
+
+def test_server_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Serving-path checkpoint (save_server/load_server): a mid-run
+    checkpoint + resume of a StreamServer must produce the same epochs
+    per stream as an uninterrupted run on the same capture."""
+    import jax
+
+    from gps_sdr_tpu.ops.tracking import to_grouped_planar
+    from gps_sdr_tpu.runtime.checkpoint import load_server, save_server
+    from gps_sdr_tpu.runtime.serving import StreamServer
+
+    blocks = np.stack(_stream())
+    cfg = CFG.replace(chunks_per_download=2,
+                      download_windows_in_flight=2,
+                      defer_subframe_poll=True, epoch_per_window=True)
+    t = cfg.no_sec
+    n_chunks = blocks.shape[0] // t
+    buf = jnp.asarray(to_grouped_planar(cfg, blocks[:n_chunks * t]))
+
+    def provider(offset):
+        def p(first, n):
+            import jax.numpy as jnp2
+            return jax.lax.dynamic_slice_in_dim(
+                buf, offset * t + int(first), n)
+        return p
+
+    def collect(srv, prov, chunks):
+        # flatten: the checkpoint shifts window boundaries, so epochs
+        # REGROUP (epoch_per_window) — the invariant is the underlying
+        # per-satellite series and frame stream, not the packing
+        out = [{"coph": {}, "frames": []} for _ in range(2)]
+        for s, epoch in srv.run(prov, chunks):
+            for sat, lst in epoch.code_phases.items():
+                out[s]["coph"].setdefault(sat, []).extend(
+                    (int(n), float(c)) for n, c in lst)
+            # nav-field frames only: AMP/CN0/CRM/FRQ are telemetry
+            # sampled at the window's last block, which legitimately
+            # moves when the checkpoint shifts window boundaries
+            skip = {"AMP", "CN0", "CRM", "FRQ", "SWP", "EPH"}
+            out[s]["frames"] += [tuple(sorted(
+                (k, v) for k, v in sf.items()
+                if k not in skip and isinstance(
+                    v, (int, float, str, bool))))
+                for sf in epoch.frames if "ID" in sf]
+        return out
+
+    ref = StreamServer(cfg, 2)
+    ref_flat = collect(ref, provider(0), n_chunks)
+
+    half = n_chunks // 2
+    s1 = StreamServer(cfg, 2)
+    got = collect(s1, provider(0), half)
+    path = str(tmp_path / "srv.pkl")
+    save_server(s1, ["ev0", "ev1"], path)
+    s2, evs = load_server(path)
+    assert evs == ["ev0", "ev1"]
+    more = collect(s2, provider(half), n_chunks - half)
+    for s in range(2):
+        for sat, lst in more[s]["coph"].items():
+            got[s]["coph"].setdefault(sat, []).extend(lst)
+        got[s]["frames"] += more[s]["frames"]
+
+    for s in range(2):
+        assert set(got[s]["coph"]) == set(ref_flat[s]["coph"])
+        for sat in ref_flat[s]["coph"]:
+            assert got[s]["coph"][sat] == ref_flat[s]["coph"][sat], (
+                f"stream {s} sat {sat} code-phase series mismatch")
+        assert got[s]["frames"] == ref_flat[s]["frames"], (
+            f"stream {s} frame stream mismatch")

@@ -70,3 +70,29 @@ def test_chunk_continuity(scn):
     parts = np.concatenate([np.asarray(dev.chunk(0, 1)),
                             np.asarray(dev.chunk(1, 1))])
     np.testing.assert_allclose(parts, whole, atol=1e-5)
+
+
+def test_knot_interp_params_match_exact():
+    """The long-horizon fast path (knot_interp_step: Catmull-Rom over
+    0.1 s nodes) must reproduce the exact per-interval linearization to
+    f32 rounding — interpolation error of the light-time solution is
+    ~3e-15 s at this step, far below the f32 quantization the params
+    already carry."""
+    import numpy as np
+
+    from gps_sdr_tpu.config import ReceiverConfig
+    from gps_sdr_tpu.models.scenario import make_scenario
+    from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
+
+    cfg = ReceiverConfig()
+    scn = make_scenario(cfg, n_sats=6, seed=7, duration_sec=8.0)
+    a = DeviceScenarioSynth(scn, noise_std=0.5)
+    b = DeviceScenarioSynth(scn, noise_std=0.5, knot_interp_step=0.1)
+    for first in (0, 32, 96):
+        pa = np.stack(a._params(first, 32))
+        pb = np.stack(b._params(first, 32))
+        # (phase0, phase_rate, c0, crate, bit_a, bit_b, bit_x)
+        tol = [2e-5, 1e-8, 2e-4, 1e-7, 0, 0, 5e-4]
+        for i, t in enumerate(tol):
+            assert np.abs(pa[i] - pb[i]).max() <= t, (i, float(
+                np.abs(pa[i] - pb[i]).max()))
