@@ -13,6 +13,12 @@ numpy path and `GSDR_EVALCORE=0` forces it (equivalence tests in
 tests/test_native.py pin native == Python).  Loading never compiles
 (see models/_navscan.py): run `make -C csrc`, or set
 GSDR_EVALCORE_BUILD=1 to opt in to an import-time build.
+
+Arguments are passed as raw pointers (c_void_p + ndarray.ctypes.data):
+np.ctypeslib ndpointer validation measured 2x the per-call overhead,
+and these calls run thousands of times per serving second.  Every
+array is made C-contiguous with the right dtype HERE — keep it that
+way; the C side trusts the layout.
 """
 
 from __future__ import annotations
@@ -46,31 +52,29 @@ def _load() -> ctypes.CDLL:
 
 _lib = _load()
 
-_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_p = ctypes.c_void_p
+_i32 = ctypes.c_int32
+_i64 = ctypes.c_int64
+_f64 = ctypes.c_double
 
-_lib.gsdr_ecef.argtypes = [
-    _f64, _f64, _f64, ctypes.c_int64, ctypes.c_int32,
-    _f64, _f64, _f64, _f64]
+_lib.gsdr_ecef.argtypes = [_p, _p, _p, _i64, _i32, _p, _p, _p, _p]
 _lib.gsdr_ecef.restype = None
 
 _lib.gsdr_fix_batch.argtypes = [
-    _f64, _f64, _f64, ctypes.c_void_p, _f64,
-    ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_double,
-    ctypes.c_double, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
-    _f64, _f64, _f64, _f64, _i64, _f64, _f64]
-_lib.gsdr_fix_batch.restype = ctypes.c_int32
+    _p, _p, _p, _p, _p, _i64, _i64, _i32, _f64, _f64, _i32, _f64,
+    _f64, _p, _p, _p, _p, _p, _p, _p]
+_lib.gsdr_fix_batch.restype = _i32
 
 _lib.gsdr_sigma_slope.argtypes = [
-    _i64, _f64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-    ctypes.c_double, ctypes.c_double, _f64, _i64, ctypes.c_int64,
-    _f64, _f64]
+    _p, _p, _i64, _i64, _i64, _f64, _f64, _p, _p, _i64, _p, _p]
 _lib.gsdr_sigma_slope.restype = None
 
-_lib.gsdr_unwrap.argtypes = [
-    _i64, _f64, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
-    _i64, ctypes.c_int64]
-_lib.gsdr_unwrap.restype = ctypes.c_int64
+_lib.gsdr_unwrap.argtypes = [_p, _p, _i64, _f64, _f64, _p, _i64]
+_lib.gsdr_unwrap.restype = _i64
+
+
+def _c(a, dtype):
+    return np.ascontiguousarray(a, dtype)
 
 
 def ecef_batch(tow: np.ndarray, dt: np.ndarray, eph_mat: np.ndarray,
@@ -79,16 +83,18 @@ def ecef_batch(tow: np.ndarray, dt: np.ndarray, eph_mat: np.ndarray,
 
     eph_mat: float64[n, 26] in EPHEM_KEYS column order
     (models/pseudorange.py:36).  Returns (x, y, z, dtsv)."""
-    tow = np.ascontiguousarray(tow, np.float64)
+    tow = _c(tow, np.float64)
     n = tow.shape[0]
-    dt = np.ascontiguousarray(np.broadcast_to(dt, (n,)), np.float64)
-    eph_mat = np.ascontiguousarray(eph_mat, np.float64)
+    dt = _c(np.broadcast_to(dt, (n,)), np.float64)
+    eph_mat = _c(eph_mat, np.float64)
     assert eph_mat.shape == (n, 26)
     x = np.empty(n, np.float64)
     y = np.empty(n, np.float64)
     z = np.empty(n, np.float64)
     dtsv = np.empty(n, np.float64)
-    _lib.gsdr_ecef(tow, dt, eph_mat, n, int(rel_corr), x, y, z, dtsv)
+    _lib.gsdr_ecef(tow.ctypes.data, dt.ctypes.data, eph_mat.ctypes.data,
+                   n, int(rel_corr), x.ctypes.data, y.ctypes.data,
+                   z.ctypes.data, dtsv.ctypes.data)
     return x, y, z, dtsv
 
 
@@ -104,13 +110,12 @@ def fix_batch(sat_pos: np.ndarray, delay: np.ndarray, w: np.ndarray,
     None when the native solve hit a singular epoch (caller must run
     the Python path, which reproduces numpy's batch-wide LinAlgError
     handling)."""
-    sat_pos = np.ascontiguousarray(sat_pos, np.float64)
+    sat_pos = _c(sat_pos, np.float64)
     E, _, n = sat_pos.shape
-    delay = np.ascontiguousarray(delay, np.float64)
-    w = np.ascontiguousarray(w, np.float64)
-    crf = np.ascontiguousarray(crf, np.float64)
-    rp = (None if rec_pos0 is None
-          else np.ascontiguousarray(rec_pos0, np.float64))
+    delay = _c(delay, np.float64)
+    w = _c(w, np.float64)
+    crf = _c(crf, np.float64)
+    rp = None if rec_pos0 is None else _c(rec_pos0, np.float64)
     pos = np.empty((E, 4), np.float64)
     residual = np.empty(E, np.float64)
     rng = np.empty((E, n), np.float64)
@@ -119,12 +124,14 @@ def fix_batch(sat_pos: np.ndarray, delay: np.ndarray, w: np.ndarray,
     cov = np.empty((E, 16), np.float64)
     res_m = np.empty((E, n), np.float64)
     rc = _lib.gsdr_fix_batch(
-        sat_pos, delay, w,
-        None if rp is None else rp.ctypes.data_as(ctypes.c_void_p),
-        crf, E, n, int(max_it), float(max_residual), float(t0_guess),
+        sat_pos.ctypes.data, delay.ctypes.data, w.ctypes.data,
+        None if rp is None else rp.ctypes.data, crf.ctypes.data,
+        E, n, int(max_it), float(max_residual), float(t0_guess),
         int(height is not None),
         0.0 if height is None else float(height), 0.0,
-        pos, residual, rng, meas, n_iter, cov, res_m)
+        pos.ctypes.data, residual.ctypes.data, rng.ctypes.data,
+        meas.ctypes.data, n_iter.ctypes.data, cov.ctypes.data,
+        res_m.ctypes.data)
     if rc == -1:
         return None
     covs = None if rc == -2 else cov.reshape(E, 4, 4)
@@ -137,8 +144,8 @@ def sigma_slope(snos: np.ndarray, cps: np.ndarray, no_sec: int,
     """Per-segment sigma/slope (models/pseudorange.py _sigma_and_slope
     port).  `hist` is the engine's slope_hist list — updated in place
     exactly as the Python walk would."""
-    snos = np.ascontiguousarray(snos, np.int64)
-    cps = np.ascontiguousarray(cps, np.float64)
+    snos = _c(snos, np.int64)
+    cps = _c(cps, np.float64)
     n = snos.shape[0]
     max_hist = 1024 // n_cyc
     h = np.zeros(max_hist + 1, np.float64)
@@ -146,8 +153,10 @@ def sigma_slope(snos: np.ndarray, cps: np.ndarray, no_sec: int,
     h[:len(hist)] = hist
     sig = np.empty(n, np.float64)
     slp = np.empty(n, np.float64)
-    _lib.gsdr_sigma_slope(snos, cps, n, no_sec, n_cyc, cap, m_per_smp,
-                          h, hl, max_hist, sig, slp)
+    _lib.gsdr_sigma_slope(snos.ctypes.data, cps.ctypes.data, n, no_sec,
+                          n_cyc, cap, m_per_smp, h.ctypes.data,
+                          hl.ctypes.data, max_hist, sig.ctypes.data,
+                          slp.ctypes.data)
     hist[:] = h[:int(hl[0])].tolist()
     return sig, slp
 
@@ -157,10 +166,10 @@ def unwrap(snos: np.ndarray, cps: np.ndarray, cs: float,
     """Overflow unwrap (runtime/evaluator.py unwrap_code_phases core).
     Returns (corrected copy of cps, indices i of flagged steps between
     entries i and i+1)."""
-    snos = np.ascontiguousarray(snos, np.int64)
+    snos = _c(snos, np.int64)
     out = np.array(cps, np.float64)           # corrected in place
     n = snos.shape[0]
     err = np.empty(n, np.int64)
-    k = _lib.gsdr_unwrap(snos, out, n, float(cs), float(diff_tol),
-                         err, n)
+    k = _lib.gsdr_unwrap(snos.ctypes.data, out.ctypes.data, n,
+                         float(cs), float(diff_tol), err.ctypes.data, n)
     return out, err[:int(k)]

@@ -196,6 +196,10 @@ def run_reference(capture_path: str, max_streams: int | None = None,
         "stat": stat,
         "n_streams": int(n_streams),
         "sweep_streams": int(sweep_streams),
+        # gpseval.prepCodePhase's correlated phase-error counter — the
+        # recovery machinery the degraded-capture differential asserts
+        # fires on BOTH pipelines (gpseval.py:436-457)
+        "n_phase_errors": int(no_phase_err),
     }
 
 
