@@ -194,9 +194,26 @@ class PseudorangeEngine:
     last_sno: int = 0
     last_cp: float = 0.0
     hatch_state: tuple | None = None     # (sno, freq, smoothed cp)
-    cp_hist: list = field(default_factory=list)     # [(sno, cp)] fit window
+    # gap-bridge fit window, stored as arrays (the list-of-tuples form
+    # cost a tolist/zip churn per satellite per chunk at serving rate);
+    # the `cp_hist` property keeps the [(sno, cp)] compat surface
+    hist_snos: np.ndarray = field(
+        default_factory=lambda: np.empty(0, np.int64))
+    hist_cps: np.ndarray = field(
+        default_factory=lambda: np.empty(0, np.float64))
     slope_hist: list = field(default_factory=list)  # cp slopes per ms
     phase_err_snos: list = field(default_factory=list)
+
+    @property
+    def cp_hist(self) -> list:
+        return list(zip(self.hist_snos.tolist(),
+                        self.hist_cps.tolist()))
+
+    @cp_hist.setter
+    def cp_hist(self, pairs) -> None:
+        n = len(pairs)
+        self.hist_snos = np.fromiter((e[0] for e in pairs), np.int64, n)
+        self.hist_cps = np.fromiter((e[1] for e in pairs), np.float64, n)
 
     MIN_GAP = 1000        # blocks; larger gaps bridged by linear fit
     MAX_GAP = 10000       # blocks; beyond this the reference is dropped
@@ -435,9 +452,9 @@ class PseudorangeEngine:
             self._clear_ref()
             return result
         if gap > self.MIN_GAP:
-            if len(self.cp_hist) >= n_cyc // 2:
-                hx, hy = zip(*self.cp_hist[-self.MAX_FIT:])
-                sl, ic = _linfit(hx, hy)
+            if self.hist_snos.shape[0] >= n_cyc // 2:
+                sl, ic = _linfit(self.hist_snos[-self.MAX_FIT:],
+                                 self.hist_cps[-self.MAX_FIT:])
                 self.last_cp = float(sl * snos[0] + ic)
             else:
                 self._clear_ref()
@@ -462,9 +479,10 @@ class PseudorangeEngine:
 
         sigma_a, slope_a = self._sigma_and_slope(snos, cps)
         tail = slice(max(0, len(snos) - self.MAX_FIT), None)
-        self.cp_hist += list(zip(snos[tail].tolist(),
-                                 cps[tail].tolist()))
-        self.cp_hist = self.cp_hist[-self.MAX_FIT:]
+        self.hist_snos = np.concatenate(
+            [self.hist_snos, snos[tail]])[-self.MAX_FIT:]
+        self.hist_cps = np.concatenate(
+            [self.hist_cps, cps[tail]])[-self.MAX_FIT:]
         self.last_sno, self.last_cp = int(snos[-1]), float(cps[-1])
 
         # TOW walking: 6 s = 6000 code periods = 187.5 blocks (n_cyc=32),

@@ -30,6 +30,7 @@ from gps_sdr_tpu.ops.pvt import (FixBatch, FixResult, solve_fix,
                                  solve_velocity)
 from gps_sdr_tpu.utils.cplist import CodePhaseList, cp_arrays, cp_concat
 from gps_sdr_tpu.utils.gpstime import gps_datetime
+from gps_sdr_tpu.utils.tuplelog import TupleLog
 
 
 # -- code-phase hygiene -------------------------------------------------------
@@ -149,7 +150,10 @@ class Evaluator:
     engines: dict = field(default_factory=dict)     # sat_no -> engine
     sat_log: dict = field(default_factory=dict)
     coph_tails: dict = field(default_factory=dict)  # sat_no -> (sno, cp)
-    sat_results: list = field(default_factory=list)
+    # per-fix result rows (satNo, tow, cyc, range_est, meas_delay) —
+    # a column-chunked log (utils/tuplelog.py): materializing a tuple
+    # per row was a measurable slice of the serving evaluate stage
+    sat_results: object = field(default_factory=TupleLog)
     positions: list = field(default_factory=list)   # [posix_t, x, y, z]
     outliers: list = field(default_factory=list)
     fix_failures: list = field(default_factory=list)
@@ -525,12 +529,12 @@ class Evaluator:
         nk = gc[ok_idx]
         nm = prep["n_max"]     # cross-stream stacks pad columns beyond
         #                        this stream's own max satellite count
-        self.sat_results += list(zip(
-            sat_res.sat_no[sel][rm].tolist(),
-            np.repeat(tw, nk).tolist(),
-            np.repeat(kcyc[ok_idx], nk).tolist(),
-            fixes.range_est[ok_idx][:, :nm][rm].tolist(),
-            fixes.meas_delay[ok_idx][:, :nm][rm].tolist()))
+        self.sat_results.extend_cols(
+            sat_res.sat_no[sel][rm],
+            np.repeat(tw, nk),
+            np.repeat(kcyc[ok_idx], nk),
+            fixes.range_est[ok_idx][:, :nm][rm],
+            fixes.meas_delay[ok_idx][:, :nm][rm])
         self._update_dop(np.asarray(self.warm_start[1:4]),
                          sat_res, order, gs, gc)
         return rec_pos, fails

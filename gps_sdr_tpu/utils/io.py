@@ -33,6 +33,9 @@ class NumpyJSONEncoder(json.JSONEncoder):
             return float(obj)
         if isinstance(obj, np.ndarray):
             return obj.tolist()
+        from gps_sdr_tpu.utils.tuplelog import TupleLog
+        if isinstance(obj, TupleLog):
+            return list(obj)
         return super().default(obj)
 
 
