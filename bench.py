@@ -702,6 +702,7 @@ def main():
                 "wall_s": round(wall, 2),
                 "host_stage_s": round(host, 2),
                 "host_share_pct": round(100 * host / wall, 1),
+                "stages_s": {k: round(v, 3) for k, v in pf.items()},
                 "dev_mem_mb": _dev_mem_mb(),
             }
 

@@ -159,9 +159,34 @@ class Evaluator:
     fix_failures: list = field(default_factory=list)
     n_phase_errors: int = 0
     skipped_blocks: int = 0
-    # running statistics
-    all_pos: list = field(default_factory=list)
+    # running statistics: accepted positions in a growing [N, 3] f64
+    # buffer (the list-of-rows form re-converted to an array on every
+    # per-second stats update — ~25% of the serving evaluate stage at
+    # S=32); the `all_pos` property keeps the sequence surface
+    _pos_buf: np.ndarray = field(
+        default_factory=lambda: np.empty((256, 3), np.float64))
+    _pos_n: int = 0
     stat: tuple | None = None        # (mean[3], std[3], n, n_outliers)
+
+    @property
+    def all_pos(self) -> np.ndarray:
+        return self._pos_buf[:self._pos_n]
+
+    @all_pos.setter
+    def all_pos(self, rows) -> None:
+        v = np.asarray(rows, np.float64).reshape(-1, 3)
+        self._pos_buf = v.copy()
+        self._pos_n = v.shape[0]
+
+    def _append_pos(self, pts: np.ndarray) -> None:
+        n = self._pos_n + pts.shape[0]
+        if n > self._pos_buf.shape[0]:
+            grown = np.empty((max(n, 2 * self._pos_buf.shape[0]), 3),
+                             np.float64)
+            grown[:self._pos_n] = self._pos_buf[:self._pos_n]
+            self._pos_buf = grown
+        self._pos_buf[self._pos_n:n] = pts
+        self._pos_n = n
     dop: tuple | None = None         # (gdop, pdop, hdop, vdop) of the
                                      # latest fixed epoch (unweighted
                                      # geometry; classic receiver
@@ -570,27 +595,25 @@ class Evaluator:
 
     def _update_stats(self, rec_pos: list) -> list:
         cfg = self.cfg
-        pts = [p[1:] for p in rec_pos]
+        pts = np.array([p[1:] for p in rec_pos], np.float64)
         new_time = rec_pos[0][0]
         if self.last_pos_time is None:
             self.last_pos_time = new_time
         mean = (self.stat[0] if self.stat is not None
-                else np.mean(pts, axis=0))
+                else pts.mean(axis=0))
         gate = cfg.min_out_dist + (new_time - self.last_pos_time) \
             * cfg.max_speed
-        dist = np.linalg.norm(np.asarray(pts) - mean, axis=1)
-        keep = []
-        for i, d in enumerate(dist):
-            if d > gate:
-                self.outliers.append(rec_pos[i])
-            else:
-                keep.append(rec_pos[i])
+        dist = np.linalg.norm(pts - mean, axis=1)
+        ok = dist <= gate
+        self.outliers.extend(rec_pos[i] for i in np.nonzero(~ok)[0])
+        keep = [rec_pos[i] for i in np.nonzero(ok)[0]]
         if keep:
-            self.all_pos += [p[1:] for p in keep]
+            self._append_pos(pts[ok])
             self.last_pos_time = keep[-1][0]
             n_avg = cfg.pos_avg_in_sec * (1024 // cfg.n_cyc)
-            window = self.all_pos[-n_avg:] if n_avg > 0 else self.all_pos
-            self.stat = (np.mean(window, axis=0), np.std(window, axis=0),
+            a = max(0, self._pos_n - n_avg) if n_avg > 0 else 0
+            window = self._pos_buf[a:self._pos_n]
+            self.stat = (window.mean(axis=0), window.std(axis=0),
                          len(window), len(self.outliers))
         return keep
 
