@@ -662,11 +662,21 @@ def main():
             perf = {k: v - perf0.get(k, 0.0) for k, v in
                     srv.perf.items()}
             perf["evaluate"] = t_eval
+            # device-memory footprint estimate (the tunnel exposes no
+            # memory_stats): stacked channel states + the in-flight
+            # download windows' IQ retention + the shared capture
+            state_b = sum(x.nbytes for x in
+                          jax.tree.leaves(srv._stacked))
+            win_iq_b = (cfg_sv.download_windows_in_flight * w_sv
+                        * t_sv * 2 * cfg.ngps * 4)
+            perf["dev_state_mb"] = round(state_b / 1e6, 1)
+            perf["dev_window_iq_mb"] = round(win_iq_b / 1e6, 1)
             return wall, sig, evs, perf
 
         wall_sv, sig_sv, evs, perf_sv = serve_once(n_sv, n_chunks_sv)
         stress["serving_stage_sec"] = {
-            k: round(v, 3) for k, v in perf_sv.items()}
+            k: round(v, 3) for k, v in perf_sv.items()
+            if not k.startswith("dev_")}
         fixes_sv = [len(e.positions) for e in evs]
         errs = [float(np.linalg.norm(e.stat[0] - scn_sv.rec_ecef))
                 for e in evs if e.stat is not None]
@@ -693,6 +703,8 @@ def main():
         def _curve_entry(s_count, wall, sig, evs_c, pf):
             host = sum(pf.get(k, 0.0) for k in
                        ("unpack", "consume", "evaluate"))
+            stages = {k: round(v, 3) for k, v in pf.items()
+                      if not k.startswith("dev_")}
             return {
                 "aggregate_rtf": round(s_count * sig / wall, 1),
                 "fixes_per_sec": round(
@@ -702,7 +714,9 @@ def main():
                 "wall_s": round(wall, 2),
                 "host_stage_s": round(host, 2),
                 "host_share_pct": round(100 * host / wall, 1),
-                "stages_s": {k: round(v, 3) for k, v in pf.items()},
+                "stages_s": stages,
+                "dev_state_mb": pf.get("dev_state_mb"),
+                "dev_window_iq_mb": pf.get("dev_window_iq_mb"),
                 "dev_mem_mb": _dev_mem_mb(),
             }
 

@@ -112,6 +112,7 @@ class TupleLog:
         return f"TupleLog(n={self._n})"
 
     def __reduce__(self):
-        # pickle via the materialized list: checkpoint files stay
-        # readable regardless of the internal chunking
-        return (TupleLog, ([self._as_list()],))
+        # pickle the raw column chunks: materializing a tuple per row
+        # made the serving soak's mid-run checkpoint minutes of wall
+        # (9M rows) and several times the size
+        return (TupleLog, (self._chunks,))
