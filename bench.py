@@ -606,7 +606,8 @@ def main():
         t_sv = cfg.no_sec
         n_chunks_sv = int(round(sv_sec / (t_sv * cfg.block_sec)))
         # at least two windows, or the warm-window timing degenerates
-        w_sv = min(16, max(1, n_chunks_sv // 2))
+        w_sv = int(os.environ.get(
+            "BENCH_SERVE_W", min(16, max(1, n_chunks_sv // 2))))
         scn_sv = make_scenario(cfg, n_sats=10, seed=5,
                                duration_sec=sv_sec + 12.0)
         dsv = DeviceScenarioSynth(scn_sv, noise_std=0.5)
