@@ -415,8 +415,12 @@ extern "C" void gsdr_sigma_slope(
       double sl = var_x > 0.0 ? cov / var_x : 0.0;
       double v = var_y - sl * cov;
       sigma = std::sqrt(v > 0.0 ? v : 0.0);
-      if (hl == max_hist) {
-        std::memmove(hist, hist + 1, sizeof(double) * (max_hist - 1));
+      if (hl >= max_hist) {
+        // drop ONE oldest entry per append, like the Python walk's
+        // `del hist[0]` — >= (not ==) so a history handed in above
+        // max_hist (e.g. resumed under a different n_cyc) can never
+        // write past the caller's max_hist+1 buffer
+        std::memmove(hist, hist + 1, sizeof(double) * (hl - 1));
         --hl;
       }
       hist[hl++] = sl / (double)n_cyc;

@@ -30,27 +30,9 @@ import numpy as np
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libgsdreval.so")
 
+from gps_sdr_tpu.nativecore import load_native_lib  # noqa: E402
 
-def _load() -> ctypes.CDLL:
-    try:
-        return ctypes.CDLL(_LIB_PATH)
-    except OSError as e:
-        first_err = e
-    if os.environ.get("GSDR_EVALCORE_BUILD", "0") == "1":
-        import subprocess
-        csrc = os.path.join(os.path.dirname(__file__), "..", "csrc")
-        try:
-            subprocess.run(["make", "-C", csrc], check=True,
-                           capture_output=True, timeout=120)
-            return ctypes.CDLL(_LIB_PATH)
-        except Exception as e:
-            first_err = e
-    raise ImportError(
-        f"native evalcore library unavailable ({first_err}); "
-        f"run `make -C csrc` (or set GSDR_EVALCORE_BUILD=1)")
-
-
-_lib = _load()
+_lib = load_native_lib(_LIB_PATH, "GSDR_EVALCORE_BUILD")
 
 _p = ctypes.c_void_p
 _i32 = ctypes.c_int32

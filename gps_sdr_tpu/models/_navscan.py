@@ -19,32 +19,9 @@ import numpy as np
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libgsdrnav.so")
 
 
-def _load() -> ctypes.CDLL:
-    # Load the prebuilt library only — compiling inside import could
-    # stall the first subframe poll for minutes on the 1-core host and
-    # would hide a broken toolchain.  Opt in to an import-time build
-    # with GSDR_NAVSCAN_BUILD=1; otherwise fail fast so navmsg.py logs
-    # the fallback and uses the Python scanner.
-    try:
-        return ctypes.CDLL(_LIB_PATH)
-    except OSError as e:
-        first_err = e
-    if os.environ.get("GSDR_NAVSCAN_BUILD", "0") == "1":
-        import subprocess
-        csrc = os.path.join(os.path.dirname(__file__), "..", "..",
-                            "csrc")
-        try:
-            subprocess.run(["make", "-C", csrc], check=True,
-                           capture_output=True, timeout=120)
-            return ctypes.CDLL(_LIB_PATH)
-        except Exception as e:
-            first_err = e
-    raise ImportError(
-        f"native navscan library unavailable ({first_err}); "
-        f"run `make -C csrc` (or set GSDR_NAVSCAN_BUILD=1)")
+from gps_sdr_tpu.nativecore import load_native_lib  # noqa: E402
 
-
-_lib = _load()
+_lib = load_native_lib(_LIB_PATH, "GSDR_NAVSCAN_BUILD")
 
 _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

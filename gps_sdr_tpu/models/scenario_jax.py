@@ -248,6 +248,12 @@ class DeviceScenarioSynth:
             tau_m, tsv_m = scn.sat_states(ts, sat)
             for m, a, b in zip(missing, tau_m, tsv_m):
                 cache[m] = (float(a), float(b))
+            # chunks advance monotonically: nodes far below this
+            # window are never read again — evict so an hours-scale
+            # soak doesn't grow the cache without bound
+            stale = [m for m in cache if m < m0 - 4]
+            for m in stale:
+                del cache[m]
         ms = range(m0, m1 + 1)
         tau_n = np.array([cache[m][0] for m in ms], np.float64)
         tsv_n = np.array([cache[m][1] for m in ms], np.float64)

@@ -14,6 +14,35 @@ import os
 _core = None
 
 
+def load_native_lib(lib_path: str, build_env_var: str):
+    """Load a prebuilt csrc shared library via ctypes.
+
+    Never compiles by default — an import-time `make` could stall the
+    first call for minutes on the 1-core host and hides a broken
+    toolchain; set `build_env_var`=1 to opt in to building.  Raises
+    ImportError with the build hint otherwise.  Shared by the
+    _evalcore and models/_navscan bindings."""
+    import ctypes
+
+    try:
+        return ctypes.CDLL(lib_path)
+    except OSError as e:
+        first_err = e
+    if os.environ.get(build_env_var, "0") == "1":
+        import subprocess
+        csrc = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "csrc")
+        try:
+            subprocess.run(["make", "-C", csrc], check=True,
+                           capture_output=True, timeout=120)
+            return ctypes.CDLL(lib_path)
+        except Exception as e:
+            first_err = e
+    raise ImportError(
+        f"native library unavailable ({first_err}); "
+        f"run `make -C csrc` (or set {build_env_var}=1)")
+
+
 def native_evalcore():
     """The _evalcore binding module, or False."""
     global _core

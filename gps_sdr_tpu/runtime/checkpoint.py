@@ -29,7 +29,11 @@ import pickle
 
 import numpy as np
 
-FORMAT_VERSION = 1
+# v2 (round 5): Evaluator stores all_pos as _pos_buf/_pos_n and
+# sat_results as a TupleLog; PseudorangeEngine stores cp_hist as
+# hist_snos/hist_cps — v1 pickles would load but crash on first use,
+# so the version gate must reject them
+FORMAT_VERSION = 2
 
 
 def _receiver_payload(rec) -> dict:

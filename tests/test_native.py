@@ -164,7 +164,12 @@ def test_navscan_native_matches_python(monkeypatch):
 
 # -- native host evaluator core (csrc/evalcore.cpp) ---------------------------
 
-evalcore = pytest.importorskip("gps_sdr_tpu._evalcore")
+# gate per-fixture, NOT module-level importorskip: a missing
+# libgsdreval.so must not silently skip the ingest/navscan parity
+# tests above, which guard independent native libraries
+@pytest.fixture
+def evalcore():
+    return pytest.importorskip("gps_sdr_tpu._evalcore")
 
 
 def _synth_eph(rng):
@@ -191,7 +196,7 @@ def _synth_eph(rng):
     return eph
 
 
-def test_evalcore_ecef_matches_python():
+def test_evalcore_ecef_matches_python(evalcore):
     """Native Kepler/ECEF propagation vs orbits.ecef_coord: sub-um
     agreement over random ephemerides, times, and both rel_corr modes."""
     from gps_sdr_tpu.models import orbits
@@ -245,8 +250,8 @@ def _fix_problem(rng, E, n, pad=0):
     (None, "per_epoch", 3e-6),
     (146.0, "shared", 0.0),
 ])
-def test_evalcore_fix_batch_matches_python(monkeypatch, height, rp0,
-                                           crf):
+def test_evalcore_fix_batch_matches_python(evalcore, monkeypatch,
+                                           height, rp0, crf):
     from gps_sdr_tpu.ops.pvt import solve_fix_batch
 
     rng = np.random.default_rng(5)
@@ -280,7 +285,7 @@ def test_evalcore_fix_batch_matches_python(monkeypatch, height, rp0,
     assert np.all(got.residual < 0.03) and np.all(ref.residual < 0.03)
 
 
-def test_evalcore_sigma_slope_matches_python(monkeypatch):
+def test_evalcore_sigma_slope_matches_python(evalcore, monkeypatch):
     """Sequential per-chunk calls must evolve the slope history and the
     per-entry sigma/slope identically to the numpy walk."""
     from gps_sdr_tpu.config import ReceiverConfig
@@ -314,7 +319,7 @@ def test_evalcore_sigma_slope_matches_python(monkeypatch):
         np.testing.assert_allclose(slp_n, slp_p, rtol=1e-9, atol=1e-15)
 
 
-def test_evalcore_unwrap_matches_python(monkeypatch):
+def test_evalcore_unwrap_matches_python(evalcore, monkeypatch):
     """Overflow unwrap + phase-error voting: corrected series, error
     votes, and log lines must match the numpy path."""
     from gps_sdr_tpu.config import ReceiverConfig
