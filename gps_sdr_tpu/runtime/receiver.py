@@ -127,20 +127,29 @@ class Receiver:
         self._codes_dev = jnp.asarray(self._codes)
         self._ffts_dev = jnp.asarray(to_f32_pairs(self._ffts))
 
-    def _serve_sweep_all(self, block: np.ndarray) -> None:
+    def _serve_sweep_all(self, block: np.ndarray,
+                         found: list | None = None) -> None:
         """Cold start / global re-sweep: one-shot full-grid acquisition and
         channel-set update (replaces the staged sweepAllSats + pool
         add/remove, gpsrecv.py:473-490).  An armed almanac warm hint
         (warm_start) shrinks the first sweep's grid; if it under-
-        delivers, the full grid runs as the fallback."""
+        delivers, the full grid runs as the fallback.  `found` skips the
+        device acquisition and reuses another receiver's result — the
+        serving cold start on SHARED capture replicas ran S identical
+        full-grid sweeps (StreamServer passes the first stream's)."""
         hints, self.warm_hints = self.warm_hints, None
-        self.found_sats = []
-        if hints is not None:
-            self.found_sats = acquire_all(self.cfg, block, self._ffts_tab,
-                                          prns=hints[0], dopplers=hints[1])
-            self.status.warm_sweeps += 1
-        if len(self.found_sats) < self.cfg.min_sat:
-            self.found_sats = acquire_all(self.cfg, block, self._ffts_tab)
+        if found is not None:
+            self.found_sats = list(found)
+        else:
+            self.found_sats = []
+            if hints is not None:
+                self.found_sats = acquire_all(
+                    self.cfg, block, self._ffts_tab,
+                    prns=hints[0], dopplers=hints[1])
+                self.status.warm_sweeps += 1
+            if len(self.found_sats) < self.cfg.min_sat:
+                self.found_sats = acquire_all(self.cfg, block,
+                                              self._ffts_tab)
         del_set, new_set = select_sats(self.slots.active, self.found_sats,
                                        self.corr_quality, self.cfg.max_sat)
         for prn in del_set:

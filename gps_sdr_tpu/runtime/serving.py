@@ -287,6 +287,13 @@ class StreamServer:
                 yield from drain()
                 acq_chunks = ([providers[0](first, t)] if shared
                               else [p(first, t) for p in providers])
+                # shared capture replicas see identical blocks, so the
+                # full-grid acquisition result is identical too: run the
+                # device sweep ONCE and hand the result to the other
+                # streams (a cold start at S=32 ran 32 identical grids
+                # — ~10 s of serial device sweeps).  Warm-hinted
+                # receivers sweep their own narrowed grid.
+                shared_found = None
                 for s, rec in enumerate(self.receivers):
                     if not rec.sweep_all:
                         continue
@@ -295,7 +302,14 @@ class StreamServer:
                     if self._stacked is not None:
                         rec.states = _slice_stream(self._stacked,
                                                    jnp.int32(s))
-                    rec._serve_sweep_all(blk0)
+                    had_hints = rec.warm_hints is not None
+                    if (shared and not had_hints
+                            and shared_found is not None):
+                        rec._serve_sweep_all(blk0, found=shared_found)
+                    else:
+                        rec._serve_sweep_all(blk0)
+                        if shared and not had_hints:
+                            shared_found = rec.found_sats
                     if self._stacked is not None:
                         self._scatter_stream(s)
                 if self._stacked is None:      # cold start: first stack

@@ -250,3 +250,31 @@ def test_fused_window_independent_providers_identical():
         assert len(got[True][s]) == len(got[False][s]) > 0
         for ea, eb in zip(got[True][s], got[False][s]):
             _epochs_equal(ea, eb)
+
+
+def test_shared_cold_start_sweeps_once(monkeypatch):
+    """Shared-capture replicas see identical blocks, so the serving
+    cold start must run the device acquisition grid ONCE and replicate
+    the result — not one full sweep per stream (the equality-vs-single-
+    receiver test above pins that the replicated result is identical)."""
+    from gps_sdr_tpu.runtime import receiver as receiver_mod
+
+    scn = make_scenario(CFG, n_sats=4, duration_sec=SEC + 6.0, seed=5)
+    dev = DeviceScenarioSynth(scn, noise_std=0.4)
+    t = CFG.no_sec
+    n_chunks = int(round(SEC / (t * CFG.block_sec)))
+
+    calls = {"n": 0}
+    real = receiver_mod.acquire_all
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(receiver_mod, "acquire_all", counting)
+    srv = StreamServer(CFG, 4)
+    n_ep = sum(1 for _ in srv.run(dev.chunk_planar, n_chunks))
+    assert n_ep == 4 * n_chunks
+    assert calls["n"] == 1, f"expected 1 shared sweep, got {calls['n']}"
+    for rec in srv.receivers:
+        assert len(rec.slots.active) >= 3
