@@ -149,6 +149,38 @@ def build_parser() -> argparse.ArgumentParser:
                        "topology (listens on UDP)")
     common(p)
 
+    p = sub.add_parser("serve", help="serve S receiver replicas of one "
+                       "IQ source through the stream-stacked device "
+                       "program (runtime/serving.py StreamServer): "
+                       "throughput mode, cross-stream batched "
+                       "evaluation")
+    p.add_argument("source", help="recorded .bin capture (iq8) or the "
+                   "literal 'synth' for a synthetic scenario")
+    p.add_argument("--streams", type=int, default=8)
+    p.add_argument("--sec", type=float, default=40.0,
+                   help="synth scenario length [s]")
+    p.add_argument("--sats", type=int, default=6)
+    p.add_argument("--noise", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--n-cyc", type=int, default=32, choices=(8, 16, 32))
+    p.add_argument("--max-sat", type=int, default=11)
+    p.add_argument("--conf-height", type=float, default=None,
+                   metavar="METERS")
+    p.add_argument("--carrier-smoothing", type=int, default=0,
+                   metavar="N")
+    p.add_argument("--max-sec", type=float, default=None)
+    p.add_argument("--out", default=None,
+                   help="prefix for per-stream JSON result dumps "
+                        "(<out>_s<k>_gps*.json)")
+    p.add_argument("--save-state", default=None, metavar="PATH",
+                   help="checkpoint every stream's receiver+evaluator "
+                        "at exit (runtime/checkpoint.py save_server)")
+    p.add_argument("--resume-state", default=None, metavar="PATH",
+                   help="resume all streams from a save-state "
+                        "checkpoint")
+    p.add_argument("--windows", type=int, default=16,
+                   help="chunks per fused download window")
+
     p = sub.add_parser("snapshot", help="coarse-time snapshot fix from "
                        "one block of a capture — no nav decode; needs "
                        "cached ephemerides + a coarse position/time "
@@ -229,6 +261,105 @@ def run_snapshot(args) -> int:
     print(f"  corrected tow: {res.t_gps:.4f} s "
           f"(coarse-time error {res.dt_s:+.4f} s, "
           f"clock bias {res.clock_bias_m / GPS_C * 1e3:+.4f} ms)")
+    return 0
+
+
+def run_serve(args) -> int:
+    """S receiver replicas off one chip (the serving path): fused
+    window dispatch, sparse window consume, cross-stream batched
+    evaluation (process_many) — the product form of what bench.py's
+    serving section measures."""
+    import jax.numpy as jnp
+
+    from gps_sdr_tpu.runtime.checkpoint import load_server, save_server
+    from gps_sdr_tpu.runtime.evaluator import Evaluator, process_many
+    from gps_sdr_tpu.runtime.serving import StreamServer
+
+    kw = dict(n_cyc=args.n_cyc, max_sat=args.max_sat,
+              chunks_per_download=args.windows,
+              download_windows_in_flight=4,
+              defer_subframe_poll=True, epoch_per_window=True)
+    if args.conf_height is not None:
+        kw.update(conf_height=True, height=args.conf_height)
+    if args.carrier_smoothing:
+        kw.update(carrier_smoothing=args.carrier_smoothing)
+    cfg = ReceiverConfig(**kw)
+    t = cfg.no_sec
+
+    if args.source == "synth":
+        from gps_sdr_tpu.models.scenario import make_scenario
+        from gps_sdr_tpu.models.scenario_jax import DeviceScenarioSynth
+        sec = args.sec if args.max_sec is None else min(args.sec,
+                                                        args.max_sec)
+        scn = make_scenario(cfg, n_sats=args.sats, seed=args.seed,
+                            duration_sec=sec + 12.0)
+        dev = DeviceScenarioSynth(scn, noise_std=args.noise,
+                                  knot_interp_step=0.1)
+        n_chunks = int(sec / (t * cfg.block_sec))
+        provider = dev.chunk_planar
+        truth = scn.rec_ecef
+    else:
+        from gps_sdr_tpu.ops.tracking import to_grouped_planar
+        from gps_sdr_tpu.runtime.sources import replay_blocks
+        max_blocks = (None if args.max_sec is None
+                      else int(args.max_sec / cfg.block_sec))
+        blocks = np.stack(list(replay_blocks(
+            args.source, cfg, max_blocks=max_blocks)))
+        n_chunks = blocks.shape[0] // t
+        buf = jnp.asarray(
+            to_grouped_planar(cfg, blocks[:n_chunks * t]))
+        del blocks
+        truth = None
+
+        def provider(first, n):
+            import jax
+            return jax.lax.dynamic_slice_in_dim(buf, int(first), n)
+
+    if args.resume_state:
+        srv, evs = load_server(args.resume_state)
+        if srv.n_streams != args.streams:
+            print(f"note: checkpoint has {srv.n_streams} streams; "
+                  f"ignoring --streams {args.streams}")
+    else:
+        srv = StreamServer(cfg, args.streams)
+        evs = [Evaluator(cfg) for _ in range(srv.n_streams)]
+
+    t0 = time.time()
+    pend = []
+    for s, epoch in srv.run(provider, n_chunks):
+        pend.append((evs[s], epoch))
+        if len(pend) == srv.n_streams:
+            process_many(pend)
+            pend = []
+    if pend:
+        process_many(pend)
+    wall = time.time() - t0
+    sig = n_chunks * t * cfg.block_sec
+
+    for s, ev in enumerate(evs):
+        n_fix = len(ev.positions)
+        line = f"stream {s}: {n_fix} fixes"
+        if n_fix and ev.stat is not None:
+            line += (f", mean ECEF ({ev.stat[0][0]:.1f}, "
+                     f"{ev.stat[0][1]:.1f}, {ev.stat[0][2]:.1f})")
+            if truth is not None:
+                err = float(np.linalg.norm(ev.stat[0] - truth))
+                line += f", err vs truth {err:.2f} m"
+        print(line)
+    print(f"{srv.n_streams} streams x {sig:.0f} s in {wall:.1f} s "
+          f"= {srv.n_streams * sig / wall:.0f}x aggregate realtime; "
+          f"stages {{{', '.join(f'{k}: {v:.2f}' for k, v in srv.perf.items())}}}")
+
+    if args.out:
+        from gps_sdr_tpu.utils import io
+        for s, ev in enumerate(evs):
+            io.save_results(f"{args.out}_s{s}",
+                            sat_results=ev.sat_results,
+                            positions=ev.positions)
+    if args.save_state:
+        save_server(srv, evs, args.save_state)
+        print(f"checkpointed {srv.n_streams} streams to "
+              f"{args.save_state}")
     return 0
 
 
@@ -492,6 +623,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.mode == "snapshot":
         return run_snapshot(args)
+    if args.mode == "serve":
+        return run_serve(args)
     cfg = make_config(args)
     if args.mode == "eval" or args.role == "eval" or args.role == "recv":
         if getattr(args, "save_state", None) \

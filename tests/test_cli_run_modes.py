@@ -57,3 +57,21 @@ def test_cli_synth_mode(tmp_path):
     for _, frames, coph in recs:
         sats_seen |= set(coph)
     assert len(sats_seen) == 2
+
+
+def test_cli_serve_mode(tmp_path):
+    """serve subcommand: S synthetic replica streams through
+    StreamServer with a checkpoint at exit, then a resume run (the
+    resumed server skips the cold sweep and continues tracking)."""
+    ck = str(tmp_path / "srv.pkl")
+    r = _run(["serve", "synth", "--streams", "2", "--sec", "4",
+              "--sats", "2", "--seed", "2", "--windows", "2",
+              "--save-state", ck], timeout=420)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "2 streams x" in r.stdout
+    assert "checkpointed 2 streams" in r.stdout
+    r2 = _run(["serve", "synth", "--streams", "2", "--sec", "4",
+               "--sats", "2", "--seed", "2", "--windows", "2",
+               "--resume-state", ck], timeout=420)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "stream 1:" in r2.stdout
